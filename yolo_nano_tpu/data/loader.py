@@ -1,0 +1,150 @@
+"""Batching input pipeline: fixed-shape padded batches with worker-parallel
+augmentation and batch prefetch.
+
+Replaces the reference's torch DataLoader + ragged-list collate
+(reference utils/misc.py:45-63, train.py:324-334). Differences, by design:
+
+  * fixed shapes — ground truth is padded to `max_boxes` per image
+    (label −1 = padding) so every batch hits the same compiled XLA program;
+  * augmentation runs in a thread pool (cv2/numpy release the GIL) with one
+    child np.random.Generator per item, all spawned from a single seed —
+    deterministic regardless of worker count (the torch loader's fork-time
+    global-RNG duplication bug doesn't exist here);
+  * an eval variant also carries (scale, offset, h, w, image_id) for
+    letterbox-undo, enabling *batched* evaluation (the reference evaluators
+    loop single images, evaluator/cocoapi_evaluator.py:65-87).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+MAX_BOXES_DEFAULT = 64
+
+
+def pad_targets(targets: List[np.ndarray], max_boxes: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """[M_i, 5] normalized (x1,y1,x2,y2,cls) per image → boxes [B, max_boxes, 4]
+    + labels [B, max_boxes] int32 (−1 padding). Overflow beyond max_boxes is
+    dropped largest-index-first (VOC p99 ≈ 20 boxes; mosaic can exceed —
+    enlarge max_boxes for mosaic configs)."""
+    b = len(targets)
+    boxes = np.zeros((b, max_boxes, 4), np.float32)
+    labels = np.full((b, max_boxes), -1, np.int32)
+    for i, t in enumerate(targets):
+        m = min(len(t), max_boxes)
+        if m:
+            boxes[i, :m] = t[:m, :4]
+            labels[i, :m] = t[:m, 4].astype(np.int32)
+    return boxes, labels
+
+
+class DetectionLoader:
+    """Iterable over epochs of (images [B,S,S,3] f32 NHWC, boxes, labels)."""
+
+    def __init__(self, dataset, batch_size: int, max_boxes: int =
+                 MAX_BOXES_DEFAULT, shuffle: bool = True,
+                 num_workers: int = 4, seed: int = 0,
+                 drop_last: bool = True, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        order = self._epoch_order()
+        self._epoch += 1
+        nb = len(self)
+        root = np.random.SeedSequence([self.seed, self._epoch])
+        item_seeds = root.spawn(len(order))
+
+        def load_one(pos: int):
+            rng = np.random.default_rng(item_seeds[pos])
+            img, target, *_ = self.dataset.pull_item(int(order[pos]), rng)
+            return img, target
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                for bi in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = bi * self.batch_size
+                    hi = min(lo + self.batch_size, len(order))
+                    items = list(pool.map(load_one, range(lo, hi)))
+                    images = np.stack([it[0] for it in items])
+                    boxes, labels = pad_targets([it[1] for it in items],
+                                                self.max_boxes)
+                    out_q.put((images, boxes, labels))
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    """Deterministic batched eval pipeline: yields
+    (images, metas) where metas is a list of dicts with scale/offset/size/id.
+    The last batch is padded by repeating the final image (fixed shapes);
+    `metas` has one entry per REAL image only."""
+
+    def __init__(self, dataset, img_size: int, batch_size: int,
+                 num_workers: int = 4):
+        self.dataset = dataset
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.num_workers = max(num_workers, 1)
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)
+
+    def __iter__(self):
+        from yolo_nano_tpu.data.transforms import val_transform
+
+        def load_one(i: int):
+            img_bgr, img_id = self.dataset.pull_image(i)
+            h, w = img_bgr.shape[:2]
+            img, scale, offset = val_transform(img_bgr, self.img_size)
+            return img, {"scale": scale, "offset": offset, "w": w, "h": h,
+                         "id": img_id, "index": i}
+
+        n = len(self.dataset)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for lo in range(0, n, self.batch_size):
+                hi = min(lo + self.batch_size, n)
+                items = list(pool.map(load_one, range(lo, hi)))
+                images = [it[0] for it in items]
+                while len(images) < self.batch_size:  # pad final batch
+                    images.append(images[-1])
+                yield np.stack(images), [it[1] for it in items]

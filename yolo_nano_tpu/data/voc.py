@@ -1,0 +1,137 @@
+"""Pascal VOC detection dataset (XML annotations).
+
+Capability parity with reference data/voc.py: 20 classes, multi-split
+(07+12 trainval default), difficult-object filtering, −1 pixel-origin shift,
+percent-coordinate targets, mosaic option, raw accessors for evaluation.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import xml.etree.ElementTree as ET
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from yolo_nano_tpu.data.mosaic import load_mosaic
+from yolo_nano_tpu.data.transforms import (
+    color_transform,
+    train_transform,
+    val_transform,
+)
+
+# reference data/voc.py:17-22
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+_CLASS_TO_IND = {c: i for i, c in enumerate(VOC_CLASSES)}
+
+
+def parse_voc_xml(path: str, width: int, height: int,
+                  keep_difficult: bool = False) -> List[List[float]]:
+    """XML → [[x1, y1, x2, y2, label], ...] normalized, −1 origin shift
+    (reference data/voc.py:43-71)."""
+    root = ET.parse(path).getroot()
+    res = []
+    for obj in root.iter("object"):
+        diff = obj.find("difficult")
+        if not keep_difficult and diff is not None and int(diff.text) == 1:
+            continue
+        name = obj.find("name").text.lower().strip()
+        bb = obj.find("bndbox")
+        pts = []
+        for i, pt in enumerate(("xmin", "ymin", "xmax", "ymax")):
+            v = int(float(bb.find(pt).text)) - 1
+            pts.append(v / width if i % 2 == 0 else v / height)
+        pts.append(float(_CLASS_TO_IND[name]))
+        res.append(pts)
+    return res
+
+
+class VOCDataset:
+    """VOCdevkit loader. data_dir points at VOCdevkit/ (containing VOC2007,
+    VOC2012). image_sets like reference data/voc.py:94."""
+
+    def __init__(self, data_dir: str, img_size: int = 640,
+                 image_sets: Sequence[Tuple[str, str]] = (
+                     ("2007", "trainval"), ("2012", "trainval")),
+                 mosaic: bool = False, augment: bool = True,
+                 keep_difficult: bool = False):
+        self.root = data_dir
+        self.img_size = img_size
+        self.mosaic = mosaic
+        self.augment = augment
+        self.keep_difficult = keep_difficult
+        self.num_classes = len(VOC_CLASSES)
+        self.class_names = VOC_CLASSES
+        self.ids: List[Tuple[str, str]] = []
+        for year, name in image_sets:
+            rootpath = osp.join(data_dir, "VOC" + year)
+            with open(osp.join(rootpath, "ImageSets", "Main",
+                               name + ".txt")) as f:
+                self.ids.extend((rootpath, line.strip()) for line in f
+                                if line.strip())
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _img_path(self, img_id) -> str:
+        return osp.join(img_id[0], "JPEGImages", img_id[1] + ".jpg")
+
+    def _anno_path(self, img_id) -> str:
+        return osp.join(img_id[0], "Annotations", img_id[1] + ".xml")
+
+    def load_img_targets(self, index: int):
+        """(img_bgr, target [M,5] normalized, h, w)
+        (reference data/voc.py:127-137)."""
+        img_id = self.ids[index]
+        img = cv2.imread(self._img_path(img_id))
+        assert img is not None, self._img_path(img_id)
+        h, w = img.shape[:2]
+        target = parse_voc_xml(self._anno_path(img_id), w, h,
+                               self.keep_difficult)
+        return img, np.asarray(target, np.float32).reshape(-1, 5), h, w
+
+    def _load_for_mosaic(self, index: int):
+        img, target, _, _ = self.load_img_targets(index)
+        return img, target
+
+    def pull_item(self, index: int, rng: Optional[np.random.Generator] = None):
+        """(img HWC RGB float32, target [M,5] normalized, h, w, scale, offset)
+        (reference data/voc.py:214-235)."""
+        rng = rng or np.random.default_rng()
+        if self.mosaic and rng.integers(2):
+            others = rng.choice(len(self.ids), size=3, replace=False)
+            img, target = load_mosaic(self._load_for_mosaic,
+                                      [index, *others.tolist()],
+                                      self.img_size, rng)
+            h = w = self.img_size
+            tf = color_transform
+        else:
+            img, target, h, w = self.load_img_targets(index)
+            tf = train_transform if self.augment else None
+        if len(target) == 0:
+            target = np.zeros((1, 5), np.float32)  # reference voc.py:226-227
+        if tf is not None:
+            img, boxes, labels, scale, offset = tf(
+                img, target[:, :4], target[:, 4], self.img_size, rng)
+        else:
+            img, scale, offset = val_transform(img, self.img_size)
+            boxes, labels = target[:, :4], target[:, 4]
+        out = np.concatenate([boxes, labels[:, None]], 1).astype(np.float32)
+        return img, out, h, w, scale, offset
+
+    def pull_image(self, index: int):
+        """(raw BGR image, img_id) (reference data/voc.py:238-250)."""
+        img_id = self.ids[index]
+        return cv2.imread(self._img_path(img_id), cv2.IMREAD_COLOR), img_id
+
+    def pull_anno(self, index: int):
+        """(image name, [[x1,y1,x2,y2,label] in −1-shifted pixel coords])
+        (reference data/voc.py:253-268)."""
+        img_id = self.ids[index]
+        gt = parse_voc_xml(self._anno_path(img_id), 1, 1, self.keep_difficult)
+        return img_id[1], gt

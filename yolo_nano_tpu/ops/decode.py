@@ -1,0 +1,70 @@
+"""Grid/anchor construction and box decoding.
+
+The reference caches grid tensors as module state and mutates them on
+resolution change (`set_grid`, reference models/yolo_nano.py:86-117). Here the
+grids are *trace-time constants*: `make_grids(cfg, input_size)` is pure numpy
+evaluated while tracing, so each (resolution, batch) bucket compiles to an XLA
+graph with the constants baked in — no device-side state, no host sync.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_nano_tpu.config import YoloNanoConfig
+
+
+class Grids(NamedTuple):
+    """Flattened multi-level grid constants (HW-major, level-concatenated).
+
+    grid_xy:   (ΣHW, 1, 2) float32 — cell top-left indices (x, y)
+    stride:    (ΣHW, 1, 1) float32 — stride of the level each cell belongs to
+    anchor_wh: (ΣHW, A, 2) float32 — anchor sizes in pixels
+
+    Matches reference create_grid (models/yolo_nano.py:86-112).
+    """
+
+    grid_xy: np.ndarray
+    stride: np.ndarray
+    anchor_wh: np.ndarray
+
+
+def make_grids(cfg: YoloNanoConfig, input_size: int) -> Grids:
+    anchors = np.asarray(cfg.anchors, np.float32).reshape(
+        len(cfg.strides), cfg.num_anchors_per_level, 2)
+    gxy, gs, gwh = [], [], []
+    for li, s in enumerate(cfg.strides):
+        hs = ws = input_size // s
+        ys, xs = np.meshgrid(np.arange(hs), np.arange(ws), indexing="ij")
+        xy = np.stack([xs, ys], -1).reshape(hs * ws, 1, 2).astype(np.float32)
+        gxy.append(xy)
+        gs.append(np.full((hs * ws, 1, 1), s, np.float32))
+        gwh.append(np.broadcast_to(anchors[li], (hs * ws,
+                                                 cfg.num_anchors_per_level, 2)))
+    return Grids(np.concatenate(gxy, 0), np.concatenate(gs, 0),
+                 np.concatenate(gwh, 0))
+
+
+def decode_xywh(txtytwth, grids: Grids):
+    """[B, ΣHW, A, 4] (tx,ty,tw,th) → [B, ΣHW·A, 4] (cx,cy,w,h) in pixels.
+
+    cxcy = (sigmoid(txty) + grid) · stride;  wh = exp(twth) · anchor
+    (reference models/yolo_nano.py:120-136 — the code uses plain sigmoid, the
+    stale comment at :127 notwithstanding).
+    """
+    b, hw, a, _ = txtytwth.shape
+    xy = (jnp.asarray(1, txtytwth.dtype) /
+          (1 + jnp.exp(-txtytwth[..., :2])) + grids.grid_xy) * grids.stride
+    wh = jnp.exp(txtytwth[..., 2:]) * grids.anchor_wh
+    return jnp.concatenate([xy, wh], -1).reshape(b, hw * a, 4)
+
+
+def decode_boxes(txtytwth, grids: Grids):
+    """[B, ΣHW, A, 4] → [B, ΣHW·A, 4] corner boxes (x1,y1,x2,y2) in pixels
+    (reference models/yolo_nano.py:139-156)."""
+    xywh = decode_xywh(txtytwth, grids)
+    half = xywh[..., 2:] / 2
+    return jnp.concatenate([xywh[..., :2] - half, xywh[..., :2] + half], -1)

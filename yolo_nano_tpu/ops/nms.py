@@ -1,0 +1,128 @@
+"""On-device, batched, fixed-shape non-maximum suppression.
+
+The reference runs NMS as a per-class python/numpy greedy loop on the host at
+batch size 1 (reference models/yolo_nano.py:159-279) — its inference hot spot.
+Here the whole postprocess (class argmax → confidence filter → per-class
+greedy NMS → top-k selection) is one fixed-shape XLA program:
+
+  * candidates are cut to `pre_topk` by score (lax.top_k — O(N log N) on VPU);
+  * per-class separation uses the coordinate-offset trick (shift each box by
+    class_id · offset, so cross-class IoU is exactly 0 — one NMS pass replaces
+    the reference's per-class loop, models/yolo_nano.py:264-272);
+  * greedy suppression is a K-step lax.fori_loop over a precomputed K×K IoU
+    matrix — identical keep-set to the reference's sequential algorithm;
+  * vmap over the batch: every image in a batch is processed in parallel on
+    device, replacing the reference's hard batch-size-1 assumption
+    (models/yolo_nano.py:365).
+
+Outputs are fixed-size (max_det) with an explicit validity mask, so the same
+compiled graph serves any image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pairwise_iou(boxes):
+    """IoU matrix [K,K] for corner boxes, reference formula
+    (models/yolo_nano.py:166-183: areas without +1, intersection clamped ≥0)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1) * (y2 - y1)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(xx2 - xx1, 0) * jnp.maximum(yy2 - yy1, 0)
+    return inter / (area[:, None] + area[None, :] - inter + 1e-20)
+
+
+def _pairwise_diou_penalty(boxes):
+    """DIoU distance penalty d²/c² (reference models/yolo_nano.py:216-235)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    ex1 = jnp.minimum(x1[:, None], x1[None, :])
+    ey1 = jnp.minimum(y1[:, None], y1[None, :])
+    ex2 = jnp.maximum(x2[:, None], x2[None, :])
+    ey2 = jnp.maximum(y2[:, None], y2[None, :])
+    c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
+    return d2 / (c2 + 1e-20)
+
+
+def nms_greedy(boxes, scores, valid, iou_thresh: float, diou: bool = False):
+    """Sequential greedy NMS over K score-sorted candidates → keep mask [K].
+
+    `boxes`/`scores` must already be sorted by descending score; `valid`
+    masks padding / below-threshold entries.
+    """
+    k = boxes.shape[0]
+    ovr = _pairwise_iou(boxes)
+    if diou:
+        ovr = ovr - _pairwise_diou_penalty(boxes)
+
+    def body(i, state):
+        keep, suppressed = state
+        live = jnp.logical_and(jnp.logical_not(suppressed[i]), valid[i])
+        keep = keep.at[i].set(live)
+        # a kept box suppresses every lower-scored box overlapping > thresh
+        later = jnp.arange(k) > i
+        suppressed = jnp.logical_or(
+            suppressed, jnp.logical_and(live, jnp.logical_and(
+                ovr[i] > iou_thresh, later)))
+        return keep, suppressed
+
+    keep, _ = lax.fori_loop(
+        0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool)))
+    return keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thresh", "iou_thresh", "pre_topk", "max_det",
+                     "diou", "class_offset"),
+)
+def batched_nms(boxes, class_scores, *, conf_thresh: float = 0.001,
+                iou_thresh: float = 0.50, pre_topk: int = 512,
+                max_det: int = 128, diou: bool = False,
+                class_offset: float = 4.0):
+    """Full reference postprocess (models/yolo_nano.py:245-279), batched on device.
+
+    Args:
+      boxes:        [B, N, 4] corner boxes (normalized to [0,1] in the
+                    reference pipeline; any consistent scale ≤ class_offset works).
+      class_scores: [B, N, C] per-class confidences (softmax(cls)·sigmoid(obj)).
+    Returns:
+      boxes [B, max_det, 4], scores [B, max_det], classes [B, max_det] int32,
+      valid [B, max_det] bool — score-sorted, padded with zeros/False.
+    """
+    boxes = boxes.astype(jnp.float32)
+    class_scores = class_scores.astype(jnp.float32)
+
+    def single(bx, cs):
+        cls = jnp.argmax(cs, axis=1)                       # :253
+        score = jnp.take_along_axis(cs, cls[:, None], 1)[:, 0]
+        ok = score >= conf_thresh                          # :258
+        ranked = jnp.where(ok, score, -1.0)
+        top_score, idx = lax.top_k(ranked, pre_topk)
+        top_boxes = bx[idx]
+        top_cls = cls[idx]
+        top_valid = top_score >= 0
+        # per-class NMS via class-offset coordinates
+        shifted = top_boxes + (top_cls[:, None] * class_offset).astype(
+            top_boxes.dtype)
+        keep = nms_greedy(shifted, top_score, top_valid, iou_thresh, diou=diou)
+        final_rank = jnp.where(keep, top_score, -1.0)
+        out_score, oidx = lax.top_k(final_rank, max_det)
+        out_valid = out_score >= 0
+        zero = jnp.zeros((), jnp.float32)
+        return (jnp.where(out_valid[:, None], top_boxes[oidx], zero),
+                jnp.where(out_valid, out_score, zero),
+                jnp.where(out_valid, top_cls[oidx], 0).astype(jnp.int32),
+                out_valid)
+
+    return jax.vmap(single)(boxes, class_scores)

@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers — the framework's parallelism layer.
+
+The reference has no working distribution (DDP imported but never constructed,
+reference train.py:13-14, SURVEY §2.9). The TPU-native replacement is
+single-program data parallelism over a 1-D `jax.sharding.Mesh`:
+
+  * batches are sharded on axis 0 across chips (NamedSharding(P("data")));
+  * model/optimizer state is replicated (NamedSharding(P()));
+  * the jitted train step is compiled once by GSPMD, which inserts the
+    gradient all-reduce (psum) and the sync-BN batch-stat reductions as XLA
+    collectives riding ICI — no host networking, no NCCL-style process groups.
+
+On a multi-slice deployment the same code runs with a 2-D ("dcn", "data") mesh;
+nothing in the model is mesh-rank dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n (default: all) local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+    """Place host arrays onto the mesh, batch-sharded on axis 0. Batch must be
+    divisible by the mesh size (pad upstream — fixed shapes are the contract)."""
+    sh = batch_sharding(mesh, axis)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out

@@ -1,0 +1,101 @@
+"""The jitted training step — target assignment, fwd+bwd, SGD, EMA, NaN guard,
+all in one XLA program.
+
+Contrast with the reference hot loop (train.py:187-235) which per iteration
+does: a host numpy target-assignment loop, host→device transfer of targets,
+separate forward, backward, optimizer mutation, EMA module walk, and a device
+sync for the NaN check. Here everything after the input batch lands in HBM is
+one compiled graph; the NaN-skip (reference train.py:225-226) is a lax.select
+on the update, not a host sync.
+
+Data parallelism: pass shardings from parallel.mesh — inputs sharded on batch,
+state replicated. GSPMD then inserts the gradient psum and makes the BatchNorm
+batch statistics global (sync-BN) automatically; losses are already sum/global
+batch exactly like the reference's single-device sum/batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolo_nano_tpu.config import YoloNanoConfig
+from yolo_nano_tpu.losses.targets import build_targets
+from yolo_nano_tpu.models.yolo_nano import loss_forward
+from yolo_nano_tpu.train.state import TrainState, ema_decay, ema_update
+
+
+def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
+                    input_size: int, mesh=None, donate: bool = True):
+    """Builds train_step(state, images, gt_boxes, gt_labels) → (state, metrics).
+
+    images: [B, S, S, 3] float32/bf16 NHWC, already normalized.
+    gt_boxes: [B, M, 4] normalized corners; gt_labels: [B, M] int32 (-1 pad).
+    One compiled graph per (input_size, batch) bucket — multi-scale training
+    re-calls this factory per bucket (reference re-caches grids via set_grid,
+    train.py:202-205).
+    """
+
+    def train_step(state: TrainState, images, gt_boxes, gt_labels):
+        targets = build_targets(gt_boxes, gt_labels, cfg, input_size)
+
+        def loss_fn(params):
+            (conf_l, cls_l, bbox_l, iou_l), new_stats = loss_forward(
+                params, state.stats, images, targets, cfg, input_size,
+                train=True)
+            total = conf_l + cls_l + bbox_l + iou_l
+            return total, ((conf_l, cls_l, bbox_l, iou_l), new_stats)
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN guard: skip the whole update on non-finite loss
+        ok = jnp.isfinite(total)
+        sel = functools.partial(jax.tree.map,
+                                lambda a, b: jnp.where(ok, a, b))
+        new_params = sel(new_params, state.params)
+        new_opt_state = sel(new_opt_state, state.opt_state)
+        new_stats = sel(new_stats, state.stats)
+        new_step = state.step + ok.astype(jnp.int32)
+
+        if state.ema_params is not None:
+            d = ema_decay(new_step)
+            new_ema_p = ema_update(state.ema_params, new_params, d)
+            new_ema_s = ema_update(state.ema_stats, new_stats, d)
+            new_ema_p = sel(new_ema_p, state.ema_params)
+            new_ema_s = sel(new_ema_s, state.ema_stats)
+        else:
+            new_ema_p, new_ema_s = None, None
+
+        metrics = {
+            "loss/total": total,
+            "loss/obj": losses[0],
+            "loss/cls": losses[1],
+            "loss/bbox": losses[2],
+            "loss/iou": losses[3],
+            "skipped_nonfinite": 1 - ok.astype(jnp.int32),
+        }
+        new_state = TrainState(new_params, new_stats, new_opt_state,
+                               new_step, new_ema_p, new_ema_s)
+        return new_state, metrics
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())        # state: fully replicated
+        data = NamedSharding(mesh, P("data"))  # batch: sharded over the mesh
+        kwargs = dict(
+            in_shardings=(repl, data, data, data),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(train_step,
+                   donate_argnums=(0,) if donate else (), **kwargs)
