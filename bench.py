@@ -25,7 +25,8 @@ def main():
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
     size = 416
-    batch = 64
+    batch = 128  # sweep-measured optimum on v5e (32→3.7k, 64→4.5k, 128→7.3k,
+    #              256→6.1k img/s); one chip, decode+NMS included
     cfg = YoloNanoConfig(num_classes=80, backbone="1.0x",
                          anchors=MULTI_ANCHOR_SIZE_COCO,
                          conf_thresh=0.1, nms_thresh=0.45,  # benchmark.py:126-127

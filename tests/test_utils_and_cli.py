@@ -1,0 +1,148 @@
+"""Checkpoint round-trip, FLOPs report, TTA, k-means anchors, and a CLI
+train→eval smoke run on a synthetic VOC dataset."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_nano_tpu.config import YoloNanoConfig
+from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
+
+
+@pytest.fixture(scope="module")
+def synthetic_voc(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("vocdev")
+    d = root / "VOC2007"
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (d / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(6):
+        name = f"im{i:04d}"
+        names.append(name)
+        h, w = 240, 320
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        x1, y1 = 40 + 10 * i, 30
+        x2, y2 = x1 + 80, y1 + 100
+        cv2.rectangle(img, (x1, y1), (x2, y2), (255, 255, 255), -1)
+        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), img)
+        (d / "Annotations" / f"{name}.xml").write_text(
+            f"<annotation><size><width>{w}</width><height>{h}</height></size>"
+            f"<object><name>dog</name><difficult>0</difficult><bndbox>"
+            f"<xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax>"
+            f"<ymax>{y2}</ymax></bndbox></object></annotation>")
+    (d / "ImageSets" / "Main" / "trainval.txt").write_text(
+        "\n".join(names) + "\n")
+    (d / "ImageSets" / "Main" / "test.txt").write_text(
+        "\n".join(names) + "\n")
+    return str(root)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    from yolo_nano_tpu.train.schedule import warmup_step_schedule
+    from yolo_nano_tpu.train.state import create_train_state, make_optimizer
+    from yolo_nano_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = YoloNanoConfig(num_classes=20)
+    params, stats = init_yolo_nano(jax.random.key(0), cfg)
+    tx = make_optimizer(warmup_step_schedule(1e-3, 10))
+    state = create_train_state(params, stats, tx, use_ema=True)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(42, state, wait=True)
+    assert mgr.latest_step() == 42
+
+    fresh = create_train_state(
+        *init_yolo_nano(jax.random.key(1), cfg), tx, use_ema=True)
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 42
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    mgr.close()
+
+
+def test_flops_report_matches_reference_scale():
+    """Reference README quotes 1.65 GFLOPs (thop MACs) @512 for the
+    ShuffleNetV2-1.0x model (README.md:10)."""
+    from yolo_nano_tpu.config import MULTI_ANCHOR_SIZE_COCO
+    from yolo_nano_tpu.utils.flops import flops_and_params
+
+    cfg = YoloNanoConfig(num_classes=80, anchors=MULTI_ANCHOR_SIZE_COCO)
+    params, stats = init_yolo_nano(jax.random.key(0), cfg)
+    gflops, gmacs, n = flops_and_params(params, stats, cfg, 512)
+    assert n == 1_326_305
+    assert 1.2 < gmacs < 2.2, gmacs
+
+
+def test_tta_predict_shapes():
+    from yolo_nano_tpu.utils.tta import make_tta_predict
+
+    cfg = YoloNanoConfig(num_classes=20, nms_pre_topk=64, max_detections=8)
+    params, stats = init_yolo_nano(jax.random.key(0), cfg)
+    tta = make_tta_predict(params, stats, cfg, scale_range=(64, 96, 32))
+    x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    boxes, scores, classes, valid = tta(x)
+    assert boxes.shape == (2, 8, 4)
+    assert valid.shape == (2, 8)
+
+
+def test_kmeans_anchor_recovers_clusters():
+    from yolo_nano_tpu.cli.kmeans_anchor import anchor_kmeans
+
+    rng = np.random.default_rng(0)
+    truth = np.array([[20, 30], [80, 60], [200, 150]], np.float64)
+    wh = np.concatenate([t + rng.normal(0, 1.5, (200, 2)) for t in truth])
+    centroids, mean_iou = anchor_kmeans(wh, 3, seed=1)
+    assert mean_iou > 0.9
+    np.testing.assert_allclose(centroids, truth, rtol=0.08)
+
+
+def test_train_cli_end_to_end(synthetic_voc, tmp_path):
+    """One epoch of the real training CLI on synthetic VOC, then the eval CLI
+    on the saved checkpoint."""
+    from yolo_nano_tpu.cli.train import main as train_main
+
+    save = str(tmp_path / "weights")
+    train_main([
+        "-d", "voc", "--root", synthetic_voc, "--img_size", "64",
+        "--eval_size", "64", "--batch_size", "2", "--max_epoch", "1", "--voc_sets", "2007",
+        "--eval_epoch", "1", "--num_workers", "2", "--save_folder", save,
+        "--lr", "1e-3", "--wp_epoch", "0", "-no_wp", "--ema",
+    ])
+    ckpt_dir = os.path.join(save, "voc", "yolo_nano", "ckpt")
+    assert os.path.isdir(ckpt_dir)
+    log = os.path.join(save, "voc", "yolo_nano", "train_log.jsonl")
+    lines = [json.loads(ln) for ln in open(log)]
+    assert lines and np.isfinite(lines[-1]["loss/total"])
+
+    from yolo_nano_tpu.cli.eval import main as eval_main
+
+    eval_main(["-d", "voc", "--root", synthetic_voc, "--weight", ckpt_dir,
+               "--img_size", "64", "--batch_size", "2", "--ema"])
+
+
+def test_test_cli_writes_visualizations(synthetic_voc, tmp_path):
+    from yolo_nano_tpu.cli.train import main as train_main
+
+    save = str(tmp_path / "w2")
+    train_main(["-d", "voc", "--root", synthetic_voc, "--img_size", "64",
+                "--eval_size", "64", "--batch_size", "2", "--max_epoch", "1", "--voc_sets", "2007",
+                "--eval_epoch", "1", "--num_workers", "1",
+                "--save_folder", save, "-no_wp"])
+    ckpt_dir = os.path.join(save, "voc", "yolo_nano", "ckpt")
+
+    from yolo_nano_tpu.cli.test import main as test_main
+
+    out = str(tmp_path / "vis")
+    test_main(["-d", "voc", "--root", synthetic_voc, "--weight", ckpt_dir,
+               "--img_size", "64", "--num_images", "2",
+               "--save_folder", out])
+    assert len(os.listdir(out)) == 2

@@ -1,0 +1,110 @@
+"""Benchmark driver (reference benchmark.py capability): FLOPs/params report
+plus wall-clock throughput/latency over COCO-val images (synthetic fallback
+when no dataset is present), conv-BN fused, decode+NMS included.
+
+    python -m yolo_nano_tpu.cli.benchmark --root /data/COCO --img_size 416 \
+        [--weight ckpt] [--batch_size 64] [--no_fuse]
+
+Timing protocol notes (vs reference benchmark.py:62-82): the reference times
+single images with cuda-sync brackets; here batches are timed with a host
+fetch of the final detections — on tunneled TPU platforms block_until_ready
+can ack before remote execution finishes, so the fetch IS the sync.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="YOLO-Nano-TPU benchmark")
+    p.add_argument("--root", default=None, help="COCO root (optional)")
+    p.add_argument("--weight", default=None)
+    p.add_argument("--img_size", default=416, type=int)
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--iters", default=30, type=int)
+    p.add_argument("--conf_thresh", default=0.1, type=float)
+    p.add_argument("--nms_thresh", default=0.45, type=float)
+    p.add_argument("--backbone", default="1.0x")
+    p.add_argument("--no_fuse", action="store_true", default=False)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.cli.common import build_config, make_predict_fn
+    from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
+    from yolo_nano_tpu.utils.flops import flops_and_params
+
+    cfg = build_config("coco", backbone=args.backbone,
+                       conf_thresh=args.conf_thresh,
+                       nms_thresh=args.nms_thresh)
+    if args.weight:
+        from yolo_nano_tpu.cli.eval import load_weights
+
+        params, stats = load_weights(args.weight, cfg, use_ema=False)
+    else:
+        params, stats = init_yolo_nano(jax.random.key(0), cfg)
+
+    flops_and_params(params, stats, cfg, args.img_size)
+    predict_fn = make_predict_fn(params, stats, cfg, args.img_size,
+                                 fold=not args.no_fuse, dtype=args.dtype)
+
+    # input batches: real COCO-val letterboxed images when available
+    # (reference benchmark.py:45-61), synthetic otherwise
+    batches = []
+    if args.root:
+        from yolo_nano_tpu.data.coco import COCODataset
+        from yolo_nano_tpu.data.loader import EvalLoader
+
+        ds = COCODataset(args.root, image_set="val2017", augment=False)
+        loader = EvalLoader(ds, args.img_size, args.batch_size)
+        for images, _ in loader:
+            batches.append(jnp.asarray(images))
+            if len(batches) * args.batch_size >= 2002:  # benchmark.py:45
+                break
+    else:
+        rng = np.random.default_rng(0)
+        batches = [jnp.asarray(rng.uniform(
+            -2, 2, (args.batch_size, args.img_size, args.img_size, 3)),
+            jnp.float32)]
+
+    out = predict_fn(batches[0])
+    np.asarray(out[1])  # compile + warmup
+
+    n_img = 0
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        out = predict_fn(batches[it % len(batches)])
+        n_img += batches[it % len(batches)].shape[0]
+    np.asarray(out[1])
+    dt = time.perf_counter() - t0
+
+    # single-batch p50 latency (decode+NMS included)
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(predict_fn(batches[0])[1])
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.median(lats))
+
+    fps = n_img / dt
+    print(f"FPS: {fps:.1f} img/s (batch {args.batch_size})")
+    print(f"p50 batch latency: {p50 * 1e3:.2f} ms "
+          f"({p50 * 1e3 / args.batch_size:.3f} ms/img)")
+    print(json.dumps({"metric": "coco_eval_images_per_sec_per_chip",
+                      "value": round(fps, 1), "unit": "img/s",
+                      "p50_batch_ms": round(p50 * 1e3, 2)}))
+
+
+if __name__ == "__main__":
+    main()

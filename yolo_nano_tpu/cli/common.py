@@ -1,0 +1,99 @@
+"""Shared CLI plumbing: dataset-specific configs, predict-fn builders,
+box drawing (reference test.py:50-92 capability)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from yolo_nano_tpu.config import (
+    MULTI_ANCHOR_SIZE,
+    MULTI_ANCHOR_SIZE_COCO,
+    YoloNanoConfig,
+)
+from yolo_nano_tpu.data.coco import COCO_CLASS_LABELS
+from yolo_nano_tpu.data.voc import VOC_CLASSES
+
+
+def build_config(dataset: str, backbone: str = "1.0x",
+                 conf_thresh: float = 0.001, nms_thresh: float = 0.50,
+                 diou_nms: bool = False, **overrides) -> YoloNanoConfig:
+    """One source of truth for per-dataset model config (the reference
+    duplicates this switch in every script, e.g. train.py:282-321,
+    eval.py:84-101 — with threshold flags that were parsed but ignored;
+    here they are honored)."""
+    if dataset == "voc":
+        base = dict(num_classes=20, anchors=MULTI_ANCHOR_SIZE)
+    elif dataset.startswith("coco"):
+        base = dict(num_classes=80, anchors=MULTI_ANCHOR_SIZE_COCO)
+    else:
+        raise ValueError(f"unknown dataset {dataset!r}")
+    base.update(backbone=backbone, conf_thresh=conf_thresh,
+                nms_thresh=nms_thresh, diou_nms=diou_nms, **overrides)
+    return YoloNanoConfig(**base)
+
+
+def class_names_for(dataset: str) -> Sequence[str]:
+    if dataset == "voc":
+        return VOC_CLASSES
+    # contiguous 80-class index → display name (via sorted cat ids 1..90)
+    coco_cat_ids = [i for i in range(1, 91)
+                    if COCO_CLASS_LABELS[i] not in (
+                        'street sign', 'hat', 'shoe', 'eye glasses', 'plate',
+                        'mirror', 'window', 'desk', 'door', 'blender')]
+    return [COCO_CLASS_LABELS[c] for c in coco_cat_ids]
+
+
+def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
+                    fold: bool = True, dtype: str = "bfloat16") -> Callable:
+    """Compiled batched inference closure: images → detections.
+    Applies conv-BN folding at build time (the reference folds only in
+    benchmark.py:140-141; here it is the default serving path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.models.yolo_nano import predict
+    from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
+
+    if fold:
+        params = fold_bn(params, stats)
+        stats = empty_stats_like(params)
+    if dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+
+    @jax.jit
+    def fn(images):
+        x = jnp.asarray(images)
+        if dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
+        return predict(params, stats, x, cfg, input_size)
+
+    return fn
+
+
+def draw_detections(img_bgr: np.ndarray, boxes: np.ndarray,
+                    scores: np.ndarray, classes: np.ndarray,
+                    class_names: Sequence[str],
+                    vis_thresh: float = 0.3) -> np.ndarray:
+    """Draw boxes+labels on a BGR image (reference test.py:50-92)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    colors = rng.integers(0, 255, (len(class_names), 3)).tolist()
+    out = img_bgr.copy()
+    for b, s, c in zip(boxes, scores, classes):
+        if s < vis_thresh:
+            continue
+        c = int(c)
+        x1, y1, x2, y2 = (int(v) for v in b)
+        color = tuple(int(v) for v in colors[c % len(colors)])
+        cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+        label = f"{class_names[c]}: {s:.2f}"
+        th = max(y1 - 6, 10)
+        cv2.putText(out, label, (x1, th), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                    color, 1, lineType=cv2.LINE_AA)
+    return out

@@ -1,0 +1,180 @@
+"""Training driver (reference train.py capability, TPU-native execution).
+
+Usage:
+    python -m yolo_nano_tpu.cli.train -d voc --root /data/VOCdevkit \
+        --batch_size 32 --img_size 640 -ms --ema --max_epoch 150 \
+        --lr_epoch 90 120
+
+Differences from the reference driver, by design:
+  * one jitted train step per multi-scale bucket, compiled once and cached
+    (the reference mutates model.set_grid and re-interpolates per iteration);
+  * target assignment happens on device inside the step (no host numpy loop);
+  * full train state (optimizer/EMA/step) checkpoints via orbax, so --resume
+    actually resumes (the reference loses momentum/EMA/LR position);
+  * when --ema is set, evaluation and export use the EMA weights;
+  * data parallelism over all local devices via a 1-D mesh when >1 device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="YOLO-Nano-TPU training")
+    p.add_argument("--img_size", default=640, type=int)
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--max_epoch", type=int, default=150)
+    p.add_argument("--lr_epoch", nargs="+", default=[90, 120], type=int)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("-r", "--resume", default=None, type=str,
+                   help="checkpoint dir to resume full train state from")
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--eval_epoch", type=int, default=10)
+    p.add_argument("--save_folder", default="weights/", type=str)
+    p.add_argument("-v", "--version", default="yolo_nano")
+    p.add_argument("--root", default="/data", help="dataset root")
+    p.add_argument("-d", "--dataset", default="voc", choices=["voc", "coco"])
+    p.add_argument("--voc_sets", default="2007,2012",
+                   help="comma-separated VOC years for trainval")
+    p.add_argument("--ema", action="store_true", default=False)
+    p.add_argument("-ms", "--multi_scale", action="store_true", default=False)
+    p.add_argument("-no_wp", "--no_warm_up", action="store_true",
+                   default=False)
+    p.add_argument("--wp_epoch", type=int, default=2)
+    p.add_argument("--mosaic", action="store_true", default=False)
+    p.add_argument("--backbone", default="1.0x")
+    p.add_argument("--eval_size", default=416, type=int)
+    p.add_argument("--max_boxes", default=64, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--log_file", default=None, type=str,
+                   help="JSONL metrics log (default <save>/train_log.jsonl)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.cli.common import build_config, make_predict_fn
+    from yolo_nano_tpu.data.coco import COCODataset
+    from yolo_nano_tpu.data.loader import DetectionLoader
+    from yolo_nano_tpu.data.voc import VOCDataset
+    from yolo_nano_tpu.evaluation.evaluator import COCOEvaluator, VOCEvaluator
+    from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
+    from yolo_nano_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolo_nano_tpu.train.schedule import warmup_step_schedule
+    from yolo_nano_tpu.train.state import create_train_state, make_optimizer
+    from yolo_nano_tpu.train.train_step import make_train_step
+    from yolo_nano_tpu.utils.checkpoint import CheckpointManager
+    from yolo_nano_tpu.utils.flops import flops_and_params
+
+    cfg = build_config(args.dataset, backbone=args.backbone)
+    save_dir = os.path.join(args.save_folder, args.dataset, args.version)
+    os.makedirs(save_dir, exist_ok=True)
+    log_path = args.log_file or os.path.join(save_dir, "train_log.jsonl")
+
+    # dataset + evaluator (reference build_dataset, train.py:282-321)
+    if args.dataset == "voc":
+        sets = [(y, "trainval") for y in args.voc_sets.split(",")]
+        dataset = VOCDataset(args.root, img_size=args.img_size,
+                             image_sets=sets, mosaic=args.mosaic)
+        evaluator = VOCEvaluator(args.root, args.eval_size,
+                                 batch_size=args.batch_size,
+                                 num_workers=args.num_workers)
+    else:
+        dataset = COCODataset(args.root, image_set="train2017",
+                              img_size=args.img_size, mosaic=args.mosaic)
+        evaluator = COCOEvaluator(args.root, args.eval_size,
+                                  batch_size=args.batch_size,
+                                  num_workers=args.num_workers)
+
+    loader = DetectionLoader(dataset, args.batch_size,
+                             max_boxes=args.max_boxes,
+                             num_workers=args.num_workers, seed=args.seed)
+    epoch_size = len(loader)
+
+    params, stats = init_yolo_nano(jax.random.key(args.seed), cfg)
+    flops_and_params(params, stats, cfg, args.img_size)
+
+    schedule = warmup_step_schedule(args.lr, epoch_size,
+                                    wp_epochs=args.wp_epoch,
+                                    lr_epochs=tuple(args.lr_epoch),
+                                    warmup=not args.no_warm_up)
+    tx = make_optimizer(schedule)
+    state = create_train_state(params, stats, tx, use_ema=args.ema)
+
+    ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    if args.resume:
+        state = CheckpointManager(args.resume).restore(state)
+        print(f"resumed from {args.resume} @ step {int(state.step)}")
+
+    # data-parallel mesh over the most devices that divide the batch evenly
+    n_dev = jax.device_count()
+    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    mesh = make_mesh(n_use) if n_use > 1 else None
+    if mesh is not None:
+        print(f"data-parallel over {n_use}/{n_dev} devices")
+
+    steps = {}  # train_size → compiled step (multi-scale buckets)
+
+    def get_step(size: int):
+        if size not in steps:
+            steps[size] = make_train_step(cfg, tx, size, mesh=mesh)
+        return steps[size]
+
+    rng = np.random.default_rng(args.seed)
+    train_size = args.img_size
+    log_f = open(log_path, "a")
+    t0 = time.time()
+    for epoch in range(args.start_epoch, args.max_epoch):
+        for iter_i, (images, boxes, labels) in enumerate(loader):
+            # multi-scale trick (reference train.py:202-205)
+            if args.multi_scale and iter_i % 10 == 0 and iter_i > 0:
+                train_size = int(rng.integers(10, 20)) * 32
+            step_fn = get_step(train_size if args.multi_scale
+                               else args.img_size)
+            if mesh is not None:
+                images, boxes, labels = shard_batch(mesh, images, boxes,
+                                                    labels)
+            state, metrics = step_fn(state, jnp.asarray(images),
+                                     jnp.asarray(boxes), jnp.asarray(labels))
+            if iter_i % 10 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                lr = float(schedule(int(state.step)))
+                dt = time.time() - t0
+                t0 = time.time()
+                print(f"[Epoch {epoch + 1}/{args.max_epoch}]"
+                      f"[Iter {iter_i}/{epoch_size}][lr {lr:.6f}]"
+                      f"[Loss: obj {m['loss/obj']:.2f} || cls "
+                      f"{m['loss/cls']:.2f} || bbox {m['loss/bbox']:.2f} || "
+                      f"iou {m['loss/iou']:.2f} || total "
+                      f"{m['loss/total']:.2f} || size "
+                      f"{train_size if args.multi_scale else args.img_size} "
+                      f"|| time {dt:.2f}]", flush=True)
+                log_f.write(json.dumps(
+                    {"epoch": epoch, "iter": iter_i,
+                     "step": int(state.step), "lr": lr, **m}) + "\n")
+                log_f.flush()
+
+        if (epoch + 1) % args.eval_epoch == 0:
+            eval_params = state.ema_params if args.ema else state.params
+            eval_stats = state.ema_stats if args.ema else state.stats
+            predict_fn = make_predict_fn(eval_params, eval_stats, cfg,
+                                         args.eval_size)
+            evaluator.evaluate(predict_fn)
+            ckpt.save(int(state.step), state)
+            print(f"saved checkpoint @ step {int(state.step)}")
+    ckpt.save(int(state.step), state, wait=True)
+    log_f.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Batched dataset evaluators.
+
+The reference evaluators run a python loop over single images with a
+device→host hop per image (reference evaluator/vocapi_evaluator.py:58-89,
+cocoapi_evaluator.py:65-87). Here inference is batched through a fixed-shape
+compiled predict function; only the final detections (max_det per image)
+return to host. The letterbox-undo math matches the reference exactly
+(bboxes −offset, /scale, ×[w,h,w,h], vocapi_evaluator.py:72-74).
+
+Both evaluators take `predict_fn(images [B,S,S,3]) → (boxes [B,D,4] normalized
+corners, scores [B,D], classes [B,D], valid [B,D])` — any params (EMA, folded,
+TTA wrapper) plug in.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from yolo_nano_tpu.data.loader import EvalLoader
+from yolo_nano_tpu.data.voc import VOC_CLASSES, VOCDataset
+from yolo_nano_tpu.evaluation.coco_eval import COCOEval
+from yolo_nano_tpu.evaluation.voc_eval import voc_eval_class
+
+
+def parse_rec_raw(path: str) -> List[dict]:
+    """Raw-pixel VOC annotations for evaluation (reference
+    evaluator/vocapi_evaluator.py:100-117 — note: no −1 shift here)."""
+    objects = []
+    for obj in ET.parse(path).getroot().findall("object"):
+        bbox = obj.find("bndbox")
+        diff = obj.find("difficult")
+        objects.append({
+            "name": obj.find("name").text,
+            "difficult": int(diff.text) if diff is not None else 0,
+            "bbox": [int(float(bbox.find(k).text))
+                     for k in ("xmin", "ymin", "xmax", "ymax")],
+        })
+    return objects
+
+
+def _run_batched(dataset, img_size: int, batch_size: int,
+                 predict_fn: Callable, num_workers: int = 4,
+                 verbose: bool = True):
+    """Yields (meta, boxes [D,4] original-frame pixels, scores [D],
+    classes [D]) per real image."""
+    loader = EvalLoader(dataset, img_size, batch_size, num_workers)
+    done = 0
+    for images, metas in loader:
+        boxes, scores, classes, valid = (np.asarray(t) for t in
+                                         predict_fn(images))
+        for bi, meta in enumerate(metas):
+            v = valid[bi]
+            b = boxes[bi][v]
+            # letterbox undo (reference vocapi_evaluator.py:72-74)
+            b = (b - meta["offset"]) / meta["scale"]
+            b = b * np.array([meta["w"], meta["h"], meta["w"], meta["h"]],
+                             np.float32)
+            yield meta, b, scores[bi][v], classes[bi][v]
+        done += len(metas)
+        if verbose and done % 500 < batch_size:
+            print(f"[eval {done}/{len(dataset)}]")
+
+
+class VOCEvaluator:
+    """VOC07-test mAP (reference evaluator/vocapi_evaluator.py)."""
+
+    def __init__(self, data_dir: str, img_size: int, set_type: str = "test",
+                 year: str = "2007", batch_size: int = 32,
+                 num_workers: int = 4, display: bool = False):
+        self.dataset = VOCDataset(data_dir, img_size=img_size,
+                                  image_sets=[(year, set_type)],
+                                  augment=False, keep_difficult=True)
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.display = display
+        self.map = 0.0
+        self.aps: Dict[str, float] = {}
+
+    def evaluate(self, predict_fn: Callable) -> float:
+        per_class: List[List] = [[] for _ in VOC_CLASSES]
+        for meta, boxes, scores, classes in _run_batched(
+                self.dataset, self.img_size, self.batch_size, predict_fn,
+                self.num_workers, verbose=self.display):
+            name = meta["id"][1]
+            for b, s, c in zip(boxes, scores, classes):
+                per_class[int(c)].append((name, float(s), b))
+
+        # raw-XML ground truth per class
+        gt_cache = {}
+        for idx in range(len(self.dataset)):
+            img_id = self.dataset.ids[idx]
+            gt_cache[img_id[1]] = parse_rec_raw(
+                self.dataset._anno_path(img_id))
+
+        aps = []
+        for ci, cls in enumerate(VOC_CLASSES):
+            gt_by_image = {}
+            for name, recs in gt_cache.items():
+                r = [o for o in recs if o["name"] == cls]
+                gt_by_image[name] = {
+                    "bbox": np.array([o["bbox"] for o in r]).reshape(-1, 4),
+                    "difficult": np.array([bool(o["difficult"]) for o in r],
+                                          bool),
+                }
+            _, _, ap = voc_eval_class(per_class[ci], gt_by_image,
+                                      ovthresh=0.5, use_07_metric=True)
+            self.aps[cls] = ap
+            aps.append(ap)
+            if self.display:
+                print(f"AP for {cls} = {ap:.4f}")
+        self.map = float(np.mean(aps))
+        print(f"Mean AP = {self.map:.4f}")
+        return self.map
+
+
+class COCOEvaluator:
+    """COCO-val AP (reference evaluator/cocoapi_evaluator.py), with the
+    pycocotools protocol implemented natively (evaluation/coco_eval.py)."""
+
+    def __init__(self, data_dir: str, img_size: int,
+                 image_set: str = "val2017", batch_size: int = 32,
+                 num_workers: int = 4, testset: bool = False):
+        from yolo_nano_tpu.data.coco import COCODataset
+
+        self.dataset = COCODataset(data_dir, image_set=image_set,
+                                   img_size=img_size, augment=False)
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.testset = testset
+        self.map = 0.0
+        self.ap50_95 = 0.0
+        self.ap50 = 0.0
+        self.stats: Dict[str, float] = {}
+
+    def evaluate(self, predict_fn: Callable):
+        data_dict = []
+        for meta, boxes, scores, classes in _run_batched(
+                self.dataset, self.img_size, self.batch_size, predict_fn,
+                self.num_workers):
+            img_id = int(meta["id"])
+            for b, s, c in zip(boxes, scores, classes):
+                # xywh COCO result format (reference cocoapi_evaluator.py:94-99)
+                data_dict.append({
+                    "image_id": img_id,
+                    "category_id": self.dataset.class_ids[int(c)],
+                    "bbox": [float(b[0]), float(b[1]),
+                             float(b[2] - b[0]), float(b[3] - b[1])],
+                    "score": float(s),
+                })
+        if self.testset:
+            import json
+
+            with open("coco_test-dev.json", "w") as f:
+                json.dump(data_dict, f)
+            return -1.0, -1.0
+        if not data_dict:
+            return 0.0, 0.0
+        gt_anns = [a for anns in self.dataset._anns.values() for a in anns]
+        ev = COCOEval(gt_anns, self.dataset.ids, self.dataset.class_ids)
+        self.stats = ev.evaluate(data_dict)
+        self.ap50_95 = self.stats["AP"]
+        self.ap50 = self.stats["AP50"]
+        self.map = self.ap50_95
+        return self.ap50, self.ap50_95

@@ -158,16 +158,24 @@ def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
     (models/yolo_nano.py:361-376, :245-279). Returns
     (boxes [B,D,4] normalized x1y1x2y2, scores [B,D], classes [B,D], valid [B,D]).
     """
+    from yolo_nano_tpu.ops.nms import batched_nms_scored
+
     conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
         params, stats, x, cfg, train=False)
     grids = make_grids(cfg, input_size)
-    obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))           # :365
+    obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))[..., 0]   # :365
     boxes = jnp.clip(
         decode_boxes(txtytwth_pred.astype(jnp.float32), grids) / input_size,
         0.0, 1.0)                                                 # :366
-    scores = jax.nn.softmax(cls_pred.astype(jnp.float32), axis=-1) * obj  # :367
-    return batched_nms(
-        boxes, scores,
+    # score = max_c softmax(cls)·obj = exp(max − logsumexp)·obj — computed
+    # without materializing the [B, N, C] softmax (same :367 semantics)
+    logits = cls_pred.astype(jnp.float32)
+    m = jnp.max(logits, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+    score = jnp.exp(m - lse) * obj
+    cls = jnp.argmax(logits, axis=-1)
+    return batched_nms_scored(
+        boxes, score, cls,
         conf_thresh=cfg.conf_thresh, iou_thresh=cfg.nms_thresh,
         pre_topk=cfg.nms_pre_topk, max_det=cfg.max_detections,
         diou=cfg.diou_nms)

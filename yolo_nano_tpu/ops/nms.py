@@ -55,29 +55,43 @@ def _pairwise_diou_penalty(boxes):
 
 
 def nms_greedy(boxes, scores, valid, iou_thresh: float, diou: bool = False):
-    """Sequential greedy NMS over K score-sorted candidates → keep mask [K].
+    """Greedy NMS over K score-sorted candidates → keep mask [K].
 
     `boxes`/`scores` must already be sorted by descending score; `valid`
     masks padding / below-threshold entries.
+
+    Implementation: fixpoint ("Jacobi") iteration of
+        keep_i = valid_i ∧ ¬∃ j<i : keep_j ∧ ovr(j,i) > thresh
+    Each sweep is one K×K masked matvec on the VPU; the iteration provably
+    reaches the sequential-greedy solution because the settled prefix grows
+    every sweep (index 0 settles after sweep 1, and index i settles once all
+    j<i it depends on have). Suppression-chain depth bounds the sweep count —
+    in practice 2-5 — so this replaces the O(K)-step sequential loop the
+    reference runs per class on the host (models/yolo_nano.py:159-188) with a
+    handful of vector ops. Exactness vs the sequential oracle is pinned by
+    tests/test_targets_and_nms.py.
     """
     k = boxes.shape[0]
     ovr = _pairwise_iou(boxes)
     if diou:
         ovr = ovr - _pairwise_diou_penalty(boxes)
+    idx = jnp.arange(k)
+    # sup[j, i] = True when a kept j would suppress i (strictly lower-scored)
+    sup = (ovr > iou_thresh) & (idx[:, None] < idx[None, :])
+    supf = sup.astype(jnp.float32)
 
-    def body(i, state):
-        keep, suppressed = state
-        live = jnp.logical_and(jnp.logical_not(suppressed[i]), valid[i])
-        keep = keep.at[i].set(live)
-        # a kept box suppresses every lower-scored box overlapping > thresh
-        later = jnp.arange(k) > i
-        suppressed = jnp.logical_or(
-            suppressed, jnp.logical_and(live, jnp.logical_and(
-                ovr[i] > iou_thresh, later)))
-        return keep, suppressed
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
 
-    keep, _ = lax.fori_loop(
-        0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool)))
+    def body(state):
+        keep, _, it = state
+        suppressed = (keep.astype(jnp.float32) @ supf) > 0
+        return jnp.logical_and(valid, jnp.logical_not(suppressed)), keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.zeros((), jnp.int32)))
     return keep
 
 
@@ -100,12 +114,35 @@ def batched_nms(boxes, class_scores, *, conf_thresh: float = 0.001,
       boxes [B, max_det, 4], scores [B, max_det], classes [B, max_det] int32,
       valid [B, max_det] bool — score-sorted, padded with zeros/False.
     """
-    boxes = boxes.astype(jnp.float32)
     class_scores = class_scores.astype(jnp.float32)
+    cls = jnp.argmax(class_scores, axis=2)                 # :253
+    score = jnp.max(class_scores, axis=2)
+    return batched_nms_scored(boxes, score, cls, conf_thresh=conf_thresh,
+                              iou_thresh=iou_thresh, pre_topk=pre_topk,
+                              max_det=max_det, diou=diou,
+                              class_offset=class_offset)
 
-    def single(bx, cs):
-        cls = jnp.argmax(cs, axis=1)                       # :253
-        score = jnp.take_along_axis(cs, cls[:, None], 1)[:, 0]
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thresh", "iou_thresh", "pre_topk", "max_det",
+                     "diou", "class_offset"),
+)
+def batched_nms_scored(boxes, score, cls, *, conf_thresh: float = 0.001,
+                       iou_thresh: float = 0.50, pre_topk: int = 512,
+                       max_det: int = 128, diou: bool = False,
+                       class_offset: float = 4.0):
+    """batched_nms with the per-box (max score, argmax class) already reduced —
+    lets callers avoid materializing the [B, N, C] score matrix (the softmax
+    max can be computed as exp(max − logsumexp) · obj in O(N))."""
+    boxes = boxes.astype(jnp.float32)
+    score = score.astype(jnp.float32)
+    # small inputs (low resolutions) can have fewer candidates than the budget
+    pre_topk = min(pre_topk, boxes.shape[1])
+    max_det_out = max_det
+    max_det = min(max_det, pre_topk)
+
+    def single(bx, score, cls):
         ok = score >= conf_thresh                          # :258
         ranked = jnp.where(ok, score, -1.0)
         top_score, idx = lax.top_k(ranked, pre_topk)
@@ -125,4 +162,9 @@ def batched_nms(boxes, class_scores, *, conf_thresh: float = 0.001,
                 jnp.where(out_valid, top_cls[oidx], 0).astype(jnp.int32),
                 out_valid)
 
-    return jax.vmap(single)(boxes, class_scores)
+    out = jax.vmap(single)(boxes, score, cls)
+    if max_det < max_det_out:  # keep the promised fixed output shape
+        pad = max_det_out - max_det
+        out = tuple(jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+                    for t in out)
+    return out

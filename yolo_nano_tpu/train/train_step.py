@@ -41,6 +41,13 @@ def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
     """
 
     def train_step(state: TrainState, images, gt_boxes, gt_labels):
+        if images.shape[1] != input_size:
+            # multi-scale training: batch arrives at the loader's base size and
+            # is resized on device (the reference interpolates the torch batch
+            # per iteration, train.py:208); boxes are normalized → unchanged
+            images = jax.image.resize(
+                images, (images.shape[0], input_size, input_size,
+                         images.shape[3]), "bilinear")
         targets = build_targets(gt_boxes, gt_labels, cfg, input_size)
 
         def loss_fn(params):
