@@ -1,0 +1,178 @@
+"""Data pipeline tests: letterbox invertibility, crop/mirror box validity,
+mosaic geometry, loader determinism and fixed shapes."""
+
+import numpy as np
+import pytest
+
+from yolo_nano_tpu.data.transforms import (
+    letterbox_undo,
+    photometric_distort,
+    random_mirror,
+    random_sample_crop,
+    resize_letterbox,
+    train_transform,
+    val_transform,
+)
+
+
+def test_letterbox_scale_offset_invertible():
+    rng = np.random.default_rng(0)
+    for h0, w0 in ((300, 500), (500, 300), (400, 400), (123, 457)):
+        img = rng.integers(0, 255, (h0, w0, 3), dtype=np.uint8)
+        boxes = np.array([[0.1, 0.2, 0.6, 0.8], [0.3, 0.0, 0.9, 0.5]],
+                         np.float32)
+        out, mapped, scale, offset = resize_letterbox(img, 128, boxes.copy())
+        assert out.shape == (128, 128, 3)
+        undone = letterbox_undo(mapped, scale, offset, w0, h0)
+        want = boxes * np.array([w0, h0, w0, h0], np.float32)
+        np.testing.assert_allclose(undone, want, rtol=1e-5, atol=1e-3)
+
+
+def test_letterbox_padding_is_mean_value():
+    from yolo_nano_tpu.data.transforms import IMAGE_MEAN
+
+    img = np.zeros((100, 50, 3), np.uint8)  # tall → pads left/right
+    out, _, _, _ = resize_letterbox(img, 64, None)
+    np.testing.assert_allclose(out[0, 0], IMAGE_MEAN * 255, rtol=1e-5)
+    assert np.all(out[:, 20:40] == 0)  # image content region
+
+
+def test_random_mirror_box_flip():
+    rng = np.random.default_rng(3)  # first integers(2) call → 1 (flip)
+    img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    boxes = np.array([[1.0, 0.0, 3.0, 2.0]], np.float32)
+    out, ob = random_mirror(img, boxes, rng)
+    if not np.array_equal(out, img):  # flipped
+        np.testing.assert_allclose(ob, [[3.0, 0.0, 5.0, 2.0]])
+
+
+def test_random_sample_crop_keeps_valid_boxes():
+    rng = np.random.default_rng(1)
+    img = np.zeros((200, 200, 3), np.float32)
+    boxes = np.array([[50, 50, 150, 150], [10, 10, 40, 40]], np.float32)
+    labels = np.array([1, 2], np.float32)
+    for _ in range(20):
+        ci, cb, cl = random_sample_crop(img.copy(), boxes.copy(),
+                                        labels.copy(), rng)
+        h, w = ci.shape[:2]
+        assert len(cb) == len(cl) >= 1
+        assert np.all(cb[:, 0] >= 0) and np.all(cb[:, 1] >= 0)
+        assert np.all(cb[:, 2] <= w + 1e-3) and np.all(cb[:, 3] <= h + 1e-3)
+        assert np.all(cb[:, 2] > cb[:, 0]) and np.all(cb[:, 3] > cb[:, 1])
+
+
+def test_photometric_distort_preserves_shape_and_finite():
+    rng = np.random.default_rng(2)
+    img = np.random.default_rng(0).uniform(0, 255, (64, 64, 3)).astype(
+        np.float32)
+    out = photometric_distort(img, rng)
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+
+
+def test_train_transform_output_contract():
+    rng = np.random.default_rng(5)
+    img = np.random.default_rng(1).integers(0, 255, (240, 320, 3),
+                                            dtype=np.uint8)
+    boxes = np.array([[0.1, 0.1, 0.5, 0.6]], np.float32)
+    labels = np.array([4.0], np.float32)
+    out, ob, ol, scale, offset = train_transform(img, boxes, labels, 96, rng)
+    assert out.shape == (96, 96, 3) and out.dtype == np.float32
+    assert ob.shape[1] == 4 and len(ol) == len(ob)
+    # normalized RGB roughly centered
+    assert -4 < out.mean() < 4
+
+
+def test_val_transform_deterministic():
+    img = np.random.default_rng(1).integers(0, 255, (200, 300, 3),
+                                            dtype=np.uint8)
+    a, sa, oa = val_transform(img, 64)
+    b, sb, ob = val_transform(img, 64)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(sa, sb)
+
+
+def test_mosaic_geometry():
+    from yolo_nano_tpu.data.mosaic import load_mosaic
+
+    rng = np.random.default_rng(0)
+
+    def load(i):
+        img = np.full((100 + 10 * i, 120, 3), i * 40, np.uint8)
+        target = np.array([[0.25, 0.25, 0.75, 0.75, float(i)]], np.float32)
+        return img, target
+
+    img, tg = load_mosaic(load, [0, 1, 2, 3], 64, rng)
+    assert img.shape == (128, 128, 3)
+    assert np.all(tg[:, :4] >= 0) and np.all(tg[:, :4] <= 1)
+    assert 1 <= len(tg) <= 4
+
+
+def test_pull_item_val_mode_boxes_match_letterboxed_content(tmp_path):
+    """Regression: with augment=False the gt boxes must be remapped into the
+    letterboxed frame (a white rectangle's pixels must lie inside its box)."""
+    import cv2
+
+    from yolo_nano_tpu.data.voc import VOCDataset
+
+    d = tmp_path / "VOC2007"
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (d / sub).mkdir(parents=True)
+    img = np.zeros((200, 400, 3), np.uint8)  # wide → letterbox pads top/bot
+    cv2.rectangle(img, (100, 50), (200, 150), (255, 255, 255), -1)
+    cv2.imwrite(str(d / "JPEGImages" / "a.jpg"), img)
+    (d / "Annotations" / "a.xml").write_text(
+        "<annotation><object><name>dog</name><difficult>0</difficult>"
+        "<bndbox><xmin>100</xmin><ymin>50</ymin><xmax>200</xmax>"
+        "<ymax>150</ymax></bndbox></object></annotation>")
+    (d / "ImageSets" / "Main" / "trainval.txt").write_text("a\n")
+
+    ds = VOCDataset(str(tmp_path), img_size=128,
+                    image_sets=[("2007", "trainval")], augment=False)
+    out, target, h, w, scale, offset = ds.pull_item(0,
+                                                    np.random.default_rng(0))
+    x1, y1, x2, y2 = (target[0, :4] * 128).astype(int)
+    # the white rectangle (bright in normalized RGB) must be inside the box
+    inside = out[y1 + 2:y2 - 2, x1 + 2:x2 - 2].mean()
+    outside = out[:max(y1 - 4, 1)].mean()
+    assert inside > outside + 1.0, (inside, outside, (x1, y1, x2, y2))
+    # and the box must reflect the letterbox offset (pad top = 0.25·128/2)
+    assert y1 >= 16 - 1
+
+
+def test_loader_fixed_shapes_and_determinism(tmp_path):
+    import cv2
+
+    from yolo_nano_tpu.data.loader import DetectionLoader
+    from yolo_nano_tpu.data.voc import VOCDataset
+
+    d = tmp_path / "VOC2007"
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (d / sub).mkdir(parents=True)
+    names = []
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        name = f"x{i}"
+        names.append(name)
+        img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), img)
+        (d / "Annotations" / f"{name}.xml").write_text(
+            "<annotation><object><name>cat</name><difficult>0</difficult>"
+            "<bndbox><xmin>10</xmin><ymin>10</ymin><xmax>90</xmax>"
+            "<ymax>80</ymax></bndbox></object></annotation>")
+    (d / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
+
+    ds = VOCDataset(str(tmp_path), img_size=64,
+                    image_sets=[("2007", "trainval")])
+    mk = lambda: DetectionLoader(ds, batch_size=2, max_boxes=8,  # noqa: E731
+                                 num_workers=2, seed=7)
+    batches_a = [(i.copy(), b.copy(), l.copy()) for i, b, l in mk()]
+    batches_b = [(i.copy(), b.copy(), l.copy()) for i, b, l in mk()]
+    assert len(batches_a) == 2  # 5 // 2 (drop_last)
+    for (ia, ba, la), (ib, bb, lb) in zip(batches_a, batches_b):
+        assert ia.shape == (2, 64, 64, 3)
+        assert ba.shape == (2, 8, 4) and la.shape == (2, 8)
+        np.testing.assert_array_equal(ia, ib)  # same seed ⇒ same epoch
+        np.testing.assert_array_equal(ba, bb)
+    # padding labels are -1
+    assert (batches_a[0][2] == -1).any()

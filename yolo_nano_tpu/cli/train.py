@@ -50,11 +50,20 @@ def parse_args(argv=None):
     p.add_argument("--wp_epoch", type=int, default=2)
     p.add_argument("--mosaic", action="store_true", default=False)
     p.add_argument("--backbone", default="1.0x")
+    p.add_argument("--pretrained", default=None,
+                   help="ImageNet backbone checkpoint dir (from "
+                        "tools/convert_torch_shufflenetv2.py)")
     p.add_argument("--eval_size", default=416, type=int)
     p.add_argument("--max_boxes", default=64, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--log_file", default=None, type=str,
                    help="JSONL metrics log (default <save>/train_log.jsonl)")
+    p.add_argument("--tfboard", action="store_true", default=False,
+                   help="also log losses to TensorBoard (reference "
+                        "train.py:150-157 capability)")
+    p.add_argument("--profile_steps", default=0, type=int,
+                   help="capture a jax.profiler trace for N steps "
+                        "(written to <save>/profile)")
     return p.parse_args(argv)
 
 
@@ -102,6 +111,16 @@ def main(argv=None):
     epoch_size = len(loader)
 
     params, stats = init_yolo_nano(jax.random.key(args.seed), cfg)
+    if args.pretrained:
+        # ImageNet-pretrained trunk (reference backbone/shufflenetv2.py:177-180)
+        from yolo_nano_tpu.utils.checkpoint import load_params
+
+        blob = load_params(args.pretrained,
+                           {"params": params["backbone"],
+                            "stats": stats["backbone"]})
+        params = dict(params, backbone=blob["params"])
+        stats = dict(stats, backbone=blob["stats"])
+        print(f"loaded pretrained backbone from {args.pretrained}")
     flops_and_params(params, stats, cfg, args.img_size)
 
     schedule = warmup_step_schedule(args.lr, epoch_size,
@@ -130,12 +149,27 @@ def main(argv=None):
             steps[size] = make_train_step(cfg, tx, size, mesh=mesh)
         return steps[size]
 
+    tb_writer = None
+    if args.tfboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(save_dir, "tb"))
+
     rng = np.random.default_rng(args.seed)
     train_size = args.img_size
     log_f = open(log_path, "a")
+    profiling = False
     t0 = time.time()
     for epoch in range(args.start_epoch, args.max_epoch):
         for iter_i, (images, boxes, labels) in enumerate(loader):
+            if args.profile_steps and not profiling and epoch == 0 \
+                    and iter_i == 2:  # skip compile iterations
+                jax.profiler.start_trace(os.path.join(save_dir, "profile"))
+                profiling = True
+            elif profiling and iter_i == 2 + args.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace → {save_dir}/profile")
             # multi-scale trick (reference train.py:202-205)
             if args.multi_scale and iter_i % 10 == 0 and iter_i > 0:
                 train_size = int(rng.integers(10, 20)) * 32
@@ -163,6 +197,12 @@ def main(argv=None):
                     {"epoch": epoch, "iter": iter_i,
                      "step": int(state.step), "lr": lr, **m}) + "\n")
                 log_f.flush()
+                if tb_writer is not None:
+                    gs = iter_i + epoch * epoch_size
+                    tb_writer.add_scalar("obj loss", m["loss/obj"], gs)
+                    tb_writer.add_scalar("cls loss", m["loss/cls"], gs)
+                    tb_writer.add_scalar("box loss", m["loss/bbox"], gs)
+                    tb_writer.add_scalar("iou loss", m["loss/iou"], gs)
 
         if (epoch + 1) % args.eval_epoch == 0:
             eval_params = state.ema_params if args.ema else state.params

@@ -247,3 +247,13 @@ def val_transform(img_bgr, size: int):
     Returns (img, scale, offset)."""
     img, _, scale, offset = resize_letterbox(img_bgr, size, None)
     return _normalize_to_rgb(img), scale, offset
+
+
+def val_transform_with_boxes(img_bgr, boxes, labels, size: int,
+                             rng=None):
+    """val chain carrying boxes: percent boxes are remapped into the
+    letterboxed frame (boxes·scale+offset, reference transforms.py:116-117 —
+    the reference's ValTransforms applies Resize to boxes too)."""
+    img, boxes, scale, offset = resize_letterbox(img_bgr, size, boxes)
+    return (_normalize_to_rgb(img), boxes.astype(np.float32), labels, scale,
+            offset)

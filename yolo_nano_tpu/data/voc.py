@@ -18,7 +18,7 @@ from yolo_nano_tpu.data.mosaic import load_mosaic
 from yolo_nano_tpu.data.transforms import (
     color_transform,
     train_transform,
-    val_transform,
+    val_transform_with_boxes,
 )
 
 # reference data/voc.py:17-22
@@ -115,12 +115,10 @@ class VOCDataset:
             tf = train_transform if self.augment else None
         if len(target) == 0:
             target = np.zeros((1, 5), np.float32)  # reference voc.py:226-227
-        if tf is not None:
-            img, boxes, labels, scale, offset = tf(
-                img, target[:, :4], target[:, 4], self.img_size, rng)
-        else:
-            img, scale, offset = val_transform(img, self.img_size)
-            boxes, labels = target[:, :4], target[:, 4]
+        if tf is None:
+            tf = val_transform_with_boxes  # boxes remapped into letterbox frame
+        img, boxes, labels, scale, offset = tf(
+            img, target[:, :4], target[:, 4], self.img_size, rng)
         out = np.concatenate([boxes, labels[:, None]], 1).astype(np.float32)
         return img, out, h, w, scale, offset
 

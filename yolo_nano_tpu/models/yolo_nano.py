@@ -87,6 +87,22 @@ def init_yolo_nano(key, cfg: YoloNanoConfig):
 
 
 def _head_apply(x, p, s, train):
+    folded = "scale" not in p["dw0"]  # BN already folded (inference path)
+    if folded and not train:
+        from yolo_nano_tpu.ops.pallas.fused_conv import (
+            fused_dw_pw,
+            pallas_enabled,
+        )
+
+        if pallas_enabled():
+            # dw→pw pairs as single Pallas kernels: the depthwise
+            # intermediate never leaves VMEM
+            y = fused_dw_pw(x, p["dw0"]["w"][:, :, 0, :], p["dw0"]["b"],
+                            p["pw0"]["w"][0, 0], p["pw0"]["b"])
+            y = fused_dw_pw(y, p["dw1"]["w"][:, :, 0, :], p["dw1"]["b"],
+                            p["pw1"]["w"][0, 0], p["pw1"]["b"])
+            y, _ = conv_bn(y, p["out"], None, train=False)
+            return y, {}
     new_s = {}
     y, new_s["dw0"] = conv_bn(x, p["dw0"], s["dw0"], groups=x.shape[-1],
                               act="leaky", train=train)
