@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--log_file", default=None, type=str,
                    help="JSONL metrics log (default <save>/train_log.jsonl)")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 activations (params/BN stats/losses stay "
+                        "f32; MXU accumulates f32 natively)")
     p.add_argument("--tfboard", action="store_true", default=False,
                    help="also log losses to TensorBoard (reference "
                         "train.py:150-157 capability)")
@@ -175,10 +178,12 @@ def main(argv=None):
                 train_size = int(rng.integers(10, 20)) * 32
             step_fn = get_step(train_size if args.multi_scale
                                else args.img_size)
+            images = jnp.asarray(images, jnp.bfloat16 if args.bf16
+                                 else jnp.float32)
             if mesh is not None:
                 images, boxes, labels = shard_batch(mesh, images, boxes,
                                                     labels)
-            state, metrics = step_fn(state, jnp.asarray(images),
+            state, metrics = step_fn(state, images,
                                      jnp.asarray(boxes), jnp.asarray(labels))
             if iter_i % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -98,16 +98,17 @@ def conv2d(x, w, *, stride: int = 1, padding: Optional[int] = None,
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
         padding = ((kh - 1) // 2) * dilation
-    out = lax.conv_general_dilated(
+    # NOTE: no preferred_element_type — the TPU MXU accumulates bf16 convs in
+    # f32 natively, and requesting an f32 output breaks the conv transpose
+    # rule under bf16 activations (mixed-dtype cotangent).
+    return lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return out.astype(x.dtype)
 
 
 def leaky_relu(x, negative_slope: float = 0.1):
@@ -168,9 +169,13 @@ def conv_bn(x, p, stats, *, stride: int = 1, groups: int = 1,
 
 
 def max_pool_3x3_s2(x):
-    """3×3 stride-2 max-pool, pad 1 (reference backbone/shufflenetv2.py:116)."""
+    """3×3 stride-2 max-pool, pad 1 (reference backbone/shufflenetv2.py:116).
+
+    Init must be exactly -inf (the max identity) — JAX's reduce_window-max
+    autodiff rule only recognizes the identity init, and -inf is representable
+    in bf16, so this differentiates under bf16 activations too."""
     return lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        x, -jnp.inf,
         lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
