@@ -2,7 +2,6 @@
 mosaic geometry, loader determinism and fixed shapes."""
 
 import numpy as np
-import pytest
 
 from yolo_nano_tpu.data.transforms import (
     letterbox_undo,

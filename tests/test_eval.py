@@ -3,7 +3,6 @@
 synthetic datasets with a perfect-oracle predict function."""
 
 import json
-import os
 
 import numpy as np
 import pytest

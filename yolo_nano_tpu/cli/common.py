@@ -3,8 +3,7 @@ box drawing (reference test.py:50-92 capability)."""
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import queue
 import threading
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

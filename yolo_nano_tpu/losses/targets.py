@@ -26,8 +26,6 @@ Target row layout (11 ch, tools.py:108):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,20 +19,16 @@ n = level_offset + cell·A + anchor.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from yolo_nano_tpu.config import YoloNanoConfig
 from yolo_nano_tpu.ops.decode import decode_boxes, make_grids
-from yolo_nano_tpu.ops.nms import batched_nms
 from yolo_nano_tpu.ops.nn import (
     conv_bn,
     downsample2x_nearest,
     init_bn,
     init_conv,
-    init_conv_bn,
     upsample2x_nearest,
 )
 from yolo_nano_tpu.models.shufflenetv2 import init_shufflenetv2, shufflenetv2_apply

@@ -25,7 +25,7 @@ A conv+BN unit is the dict  {'w': (kh,kw,Cin/g,Cout) [, 'b': (Cout,)],
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

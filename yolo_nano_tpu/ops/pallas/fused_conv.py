@@ -36,7 +36,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _PALLAS_ENABLED = False  # see MEASURED note above
 

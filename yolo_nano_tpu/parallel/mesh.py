@@ -16,7 +16,7 @@ nothing in the model is mesh-rank dependent.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

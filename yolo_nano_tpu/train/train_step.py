@@ -17,8 +17,6 @@ batch exactly like the reference's single-device sum/batch.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -9,7 +9,7 @@ on-device batched_nms instead of the reference's host numpy loop (:133-141).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
