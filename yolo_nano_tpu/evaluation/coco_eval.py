@@ -96,7 +96,8 @@ class COCOEval:
                     continue
                 g_boxes = np.asarray([g["bbox"] for g in gt], np.float64
                                      ).reshape(-1, 4)
-                g_crowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gt])
+                g_crowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gt],
+                                     dtype=bool)
                 g_area = np.asarray([g.get("area", b[2] * b[3])
                                      for g, b in zip(gt, g_boxes)], np.float64
                                     ).reshape(-1)

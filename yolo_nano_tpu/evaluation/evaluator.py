@@ -144,6 +144,10 @@ class COCOEvaluator:
                 self.num_workers):
             img_id = int(meta["id"])
             for b, s, c in zip(boxes, scores, classes):
+                if int(c) >= len(self.dataset.class_ids):
+                    # model heads may cover more classes than the annotation
+                    # file declares (e.g. reduced-category subsets)
+                    continue
                 # xywh COCO result format (reference cocoapi_evaluator.py:94-99)
                 data_dict.append({
                     "image_id": img_id,
