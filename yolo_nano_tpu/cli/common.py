@@ -46,10 +46,16 @@ def class_names_for(dataset: str) -> Sequence[str]:
 
 
 def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
-                    fold: bool = True, dtype: str = "bfloat16") -> Callable:
+                    fold: bool = True, dtype: str = "bfloat16",
+                    mesh=None) -> Callable:
     """Compiled batched inference closure: images → detections.
     Applies conv-BN folding at build time (the reference folds only in
-    benchmark.py:140-141; here it is the default serving path)."""
+    benchmark.py:140-141; here it is the default serving path).
+
+    With `mesh`, inference fans out across the data-parallel mesh: the batch
+    shards on axis 0 (must divide the mesh size), params replicate, and the
+    fixed-shape detections come back batch-sharded — multi-chip batched eval
+    with zero model changes."""
     import jax
     import jax.numpy as jnp
 
@@ -64,14 +70,23 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
-    @jax.jit
     def fn(images):
         x = jnp.asarray(images)
         if dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
         return predict(params, stats, x, cfg, input_size)
 
-    return fn
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(fn, in_shardings=data, out_shardings=data)
+
+    def sharded(images):
+        return jitted(jax.device_put(jnp.asarray(images), data))
+
+    return sharded
 
 
 def draw_detections(img_bgr: np.ndarray, boxes: np.ndarray,

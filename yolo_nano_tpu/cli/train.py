@@ -34,7 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--lr_epoch", nargs="+", default=[90, 120], type=int)
     p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("-r", "--resume", default=None, type=str,
-                   help="checkpoint dir to resume full train state from")
+                   help="checkpoint dir to resume full train state from, or "
+                        "'auto' to pick up this run's latest checkpoint")
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--eval_epoch", type=int, default=10)
     p.add_argument("--save_folder", default="weights/", type=str)
@@ -81,7 +82,7 @@ def main(argv=None):
     from yolo_nano_tpu.data.voc import VOCDataset
     from yolo_nano_tpu.evaluation.evaluator import COCOEvaluator, VOCEvaluator
     from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
-    from yolo_nano_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolo_nano_tpu.parallel.mesh import make_mesh
     from yolo_nano_tpu.train.schedule import warmup_step_schedule
     from yolo_nano_tpu.train.state import create_train_state, make_optimizer
     from yolo_nano_tpu.train.train_step import make_train_step
@@ -134,9 +135,20 @@ def main(argv=None):
     state = create_train_state(params, stats, tx, use_ema=args.ema)
 
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    start_epoch = args.start_epoch
     if args.resume:
-        state = CheckpointManager(args.resume).restore(state)
-        print(f"resumed from {args.resume} @ step {int(state.step)}")
+        resume_dir = (os.path.join(save_dir, "ckpt")
+                      if args.resume == "auto" else args.resume)
+        mgr = CheckpointManager(resume_dir) if args.resume != "auto" else ckpt
+        if args.resume == "auto" and mgr.latest_step() is None:
+            print("no checkpoint yet — starting fresh")
+        else:
+            state = mgr.restore(state)
+            # full state restores optimizer/EMA/LR position (the reference's
+            # --resume reloads weights only, SURVEY §5.3); epoch derived from
+            # the restored step unless --start_epoch overrides
+            start_epoch = max(start_epoch, int(state.step) // epoch_size)
+            print(f"resumed @ step {int(state.step)} (epoch {start_epoch})")
 
     # data-parallel mesh over the most devices that divide the batch evenly
     n_dev = jax.device_count()
@@ -162,9 +174,23 @@ def main(argv=None):
     train_size = args.img_size
     log_f = open(log_path, "a")
     profiling = False
+
+    from yolo_nano_tpu.data.loader import device_prefetch
+    from yolo_nano_tpu.parallel.mesh import batch_sharding
+
+    in_dtype = jnp.bfloat16 if args.bf16 else np.float32
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
+
+    def host_batches():
+        for images, boxes_, labels_ in loader:
+            yield images.astype(in_dtype), boxes_, labels_
+
     t0 = time.time()
-    for epoch in range(args.start_epoch, args.max_epoch):
-        for iter_i, (images, boxes, labels) in enumerate(loader):
+    for epoch in range(start_epoch, args.max_epoch):
+        # double-buffered device placement: host augmentation + transfer
+        # overlap device compute
+        batches = device_prefetch(host_batches(), size=2, sharding=batch_sh)
+        for iter_i, (images, boxes, labels) in enumerate(batches):
             if args.profile_steps and not profiling and epoch == 0 \
                     and iter_i == 2:  # skip compile iterations
                 jax.profiler.start_trace(os.path.join(save_dir, "profile"))
@@ -178,13 +204,7 @@ def main(argv=None):
                 train_size = int(rng.integers(10, 20)) * 32
             step_fn = get_step(train_size if args.multi_scale
                                else args.img_size)
-            images = jnp.asarray(images, jnp.bfloat16 if args.bf16
-                                 else jnp.float32)
-            if mesh is not None:
-                images, boxes, labels = shard_batch(mesh, images, boxes,
-                                                    labels)
-            state, metrics = step_fn(state, images,
-                                     jnp.asarray(boxes), jnp.asarray(labels))
+            state, metrics = step_fn(state, images, boxes, labels)
             if iter_i % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 lr = float(schedule(int(state.step)))

@@ -113,6 +113,36 @@ class DetectionLoader:
             stop.set()
 
 
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator with asynchronous device placement: up to
+    `size` batches live on device ahead of the consumer, overlapping host
+    augmentation + transfer with device compute (the double-buffered
+    device_put of SURVEY §7.4). `sharding` optionally places batches
+    batch-sharded across a mesh."""
+    import collections
+
+    import jax
+
+    queue_: "collections.deque" = collections.deque()
+
+    def put(batch):
+        return tuple(jax.device_put(b, sharding) for b in batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue_.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue_:
+        out = queue_.popleft()
+        try:
+            queue_.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class EvalLoader:
     """Deterministic batched eval pipeline: yields
     (images, metas) where metas is a list of dicts with scale/offset/size/id.
