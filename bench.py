@@ -61,11 +61,42 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     ips = batch * iters / best
+
+    # secondary metric of record (BASELINE.md): p50 on-device decode+NMS
+    # latency, measured on the postprocess alone at the same batch
+    from yolo_nano_tpu.ops.decode import decode_boxes, make_grids
+    from yolo_nano_tpu.ops.nms import batched_nms_scored
+
+    grids = make_grids(cfg, size)
+    n = cfg.num_predictions(size)
+
+    @jax.jit
+    def postprocess(txty, score, cls_idx):
+        bx = jnp.clip(decode_boxes(txty, grids) / size, 0.0, 1.0)
+        return batched_nms_scored(bx, score, cls_idx,
+                                  conf_thresh=cfg.conf_thresh,
+                                  iou_thresh=cfg.nms_thresh,
+                                  pre_topk=cfg.nms_pre_topk,
+                                  max_det=cfg.max_detections)
+
+    txty = jnp.asarray(rng.normal(0, 1, (batch, cfg.num_cells(size), 3, 4)),
+                       jnp.float32)
+    score = jnp.asarray(rng.uniform(0, 1, (batch, n)), jnp.float32)
+    cls_idx = jnp.asarray(rng.integers(0, 80, (batch, n)), jnp.int32)
+    np.asarray(postprocess(txty, score, cls_idx)[1])
+    lats = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        np.asarray(postprocess(txty, score, cls_idx)[1])
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lats)) * 1e3
+
     print(json.dumps({
         "metric": "coco_eval_images_per_sec_per_chip_416",
         "value": round(ips, 1),
         "unit": "img/s",
         "vs_baseline": round(ips / 5000.0, 3),
+        "p50_decode_nms_ms_batch128": round(p50_ms, 2),
     }))
 
 

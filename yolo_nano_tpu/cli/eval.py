@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--conf_thresh", default=0.001, type=float)
     p.add_argument("--nms_thresh", default=0.50, type=float)
     p.add_argument("--diou_nms", action="store_true", default=False)
+    p.add_argument("--pre_topk", default=512, type=int,
+                   help="candidates entering NMS per image")
+    p.add_argument("--max_det", default=128, type=int,
+                   help="final detections per image")
     p.add_argument("--backbone", default="1.0x")
     p.add_argument("--ema", action="store_true", default=False,
                    help="evaluate the EMA weights from a train checkpoint")
@@ -65,7 +69,9 @@ def main(argv=None):
     dataset_key = "voc" if args.dataset == "voc" else "coco"
     cfg = build_config(dataset_key, backbone=args.backbone,
                        conf_thresh=args.conf_thresh,
-                       nms_thresh=args.nms_thresh, diou_nms=args.diou_nms)
+                       nms_thresh=args.nms_thresh, diou_nms=args.diou_nms,
+                       nms_pre_topk=args.pre_topk,
+                       max_detections=args.max_det)
     params, stats = load_weights(args.weight, cfg, args.ema)
 
     if args.tta:

@@ -73,6 +73,8 @@ def collect_wh(dataset, img_size: int) -> np.ndarray:
 def main(argv=None):
     p = argparse.ArgumentParser(description="anchor k-means")
     p.add_argument("--root_voc", default=None)
+    p.add_argument("--voc_sets", default="2007,2012",
+                   help="comma-separated VOC years for trainval")
     p.add_argument("--root_coco", default=None)
     p.add_argument("-na", "--num_anchors", default=9, type=int)
     p.add_argument("-size", "--img_size", default=416, type=int)
@@ -83,7 +85,9 @@ def main(argv=None):
     if args.root_voc:
         from yolo_nano_tpu.data.voc import VOCDataset
 
-        whs.append(collect_wh(VOCDataset(args.root_voc), args.img_size))
+        sets = [(y, "trainval") for y in args.voc_sets.split(",")]
+        whs.append(collect_wh(VOCDataset(args.root_voc, image_sets=sets),
+                              args.img_size))
     if args.root_coco:
         from yolo_nano_tpu.data.coco import COCODataset
 
