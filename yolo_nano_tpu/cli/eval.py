@@ -78,7 +78,7 @@ def main(argv=None):
         from yolo_nano_tpu.utils.tta import make_tta_predict
 
         predict_fn = make_tta_predict(params, stats, cfg,
-                                      nms_thresh=0.4)
+                                      nms_thresh=args.nms_thresh)
     else:
         predict_fn = make_predict_fn(params, stats, cfg, args.img_size)
 

@@ -85,7 +85,8 @@ def main(argv=None):
     if args.root_voc:
         from yolo_nano_tpu.data.voc import VOCDataset
 
-        sets = [(y, "trainval") for y in args.voc_sets.split(",")]
+        sets = [(y.strip(), "trainval")
+                for y in args.voc_sets.split(",") if y.strip()]
         whs.append(collect_wh(VOCDataset(args.root_voc, image_sets=sets),
                               args.img_size))
     if args.root_coco:

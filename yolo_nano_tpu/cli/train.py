@@ -96,7 +96,8 @@ def main(argv=None):
 
     # dataset + evaluator (reference build_dataset, train.py:282-321)
     if args.dataset == "voc":
-        sets = [(y, "trainval") for y in args.voc_sets.split(",")]
+        sets = [(y.strip(), "trainval")
+                for y in args.voc_sets.split(",") if y.strip()]
         dataset = VOCDataset(args.root, img_size=args.img_size,
                              image_sets=sets, mosaic=args.mosaic)
         evaluator = VOCEvaluator(args.root, args.eval_size,
