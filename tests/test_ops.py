@@ -80,6 +80,37 @@ def test_nearest_resize_matches_torch():
     np.testing.assert_allclose(dn, _nhwc(want_dn), rtol=1e-6)
 
 
+def test_batchnorm_train_stable_for_large_mean_channels():
+    """Regression: one-pass E[x²]−E[x]² variance cancels catastrophically for
+    channels with |mean|/σ ≳ 2^12 and produced NaN activations."""
+    from yolo_nano_tpu.ops.nn import _batch_norm
+
+    rng = np.random.default_rng(0)
+    x = (3000.0 + 0.05 * rng.normal(size=(8, 4, 4, 2))).astype(np.float32)
+    p = {"scale": jnp.ones(2), "bias": jnp.zeros(2)}
+    s = {"mean": jnp.zeros(2), "var": jnp.ones(2)}
+    y, new_s = _batch_norm(jnp.asarray(x), p, s, train=True)
+    assert np.isfinite(np.asarray(y)).all()
+    assert (np.asarray(new_s["var"]) >= 0).all()
+
+
+def test_decode_gradient_finite_for_saturated_logits():
+    """Regression: hand-rolled sigmoid gave NaN gradients for logits < -88,
+    poisoning training through the IoU loss even at zero loss weight."""
+    from yolo_nano_tpu.config import YoloNanoConfig
+    from yolo_nano_tpu.ops.decode import decode_boxes, make_grids
+
+    cfg = YoloNanoConfig()
+    grids = make_grids(cfg, 64)
+    t = jnp.zeros((1, cfg.num_cells(64), 3, 4)).at[0, 0, 0, 0].set(-120.0)
+
+    def f(t):
+        return jnp.sum(decode_boxes(t, grids))
+
+    g = jax.grad(f)(t)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_batchnorm_train_matches_torch():
     from yolo_nano_tpu.ops.nn import _batch_norm
 

@@ -46,6 +46,11 @@ def parse_args(argv=None):
                    help="comma-separated VOC years for trainval")
     p.add_argument("--ema", action="store_true", default=False)
     p.add_argument("-ms", "--multi_scale", action="store_true", default=False)
+    p.add_argument("--multi_scale_range", nargs=2, default=[10, 20],
+                   type=int, metavar=("LO", "HI"),
+                   help="multi-scale bucket range: sizes drawn from "
+                        "randint(LO, HI)·32 (the reference parses this flag "
+                        "but hardcodes 10..19, train.py:204 — here it works)")
     p.add_argument("-no_wp", "--no_warm_up", action="store_true",
                    default=False)
     p.add_argument("--wp_epoch", type=int, default=2)
@@ -202,7 +207,8 @@ def main(argv=None):
                 print(f"profiler trace → {save_dir}/profile")
             # multi-scale trick (reference train.py:202-205)
             if args.multi_scale and iter_i % 10 == 0 and iter_i > 0:
-                train_size = int(rng.integers(10, 20)) * 32
+                lo, hi = args.multi_scale_range
+                train_size = int(rng.integers(lo, hi)) * 32
             step_fn = get_step(train_size if args.multi_scale
                                else args.img_size)
             state, metrics = step_fn(state, images, boxes, labels)

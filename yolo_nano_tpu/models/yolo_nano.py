@@ -35,9 +35,11 @@ from yolo_nano_tpu.models.shufflenetv2 import init_shufflenetv2, shufflenetv2_ap
 
 
 def _init_conv_block(key, k, cin, cout, groups=1):
-    """reference utils/modules.py:8-18 `Conv`: Conv2d(bias=True)+BN+LeakyReLU."""
+    """reference utils/modules.py:8-18 `Conv`: Conv2d(bias=True)+BN+LeakyReLU.
+    BN bias starts at 0 (torch default — the reference's custom 1e-4 init
+    applies to backbone modules only)."""
     p = init_conv(key, k, k, cin, cout, groups=groups, bias=True)
-    bn_p, bn_s = init_bn(cout)
+    bn_p, bn_s = init_bn(cout, bias_init=0.0)
     p.update(bn_p)
     return p, bn_s
 

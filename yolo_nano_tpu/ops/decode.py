@@ -55,9 +55,13 @@ def decode_xywh(txtytwth, grids: Grids):
     (reference models/yolo_nano.py:120-136 — the code uses plain sigmoid, the
     stale comment at :127 notwithstanding).
     """
+    import jax
+
     b, hw, a, _ = txtytwth.shape
-    xy = (jnp.asarray(1, txtytwth.dtype) /
-          (1 + jnp.exp(-txtytwth[..., :2])) + grids.grid_xy) * grids.stride
+    # jax.nn.sigmoid (not a hand-rolled 1/(1+exp(-x))): the library version
+    # has a safe custom JVP — the naive form produces NaN gradients for
+    # logits below ~-88 and would poison training through the IoU loss
+    xy = (jax.nn.sigmoid(txtytwth[..., :2]) + grids.grid_xy) * grids.stride
     wh = jnp.exp(txtytwth[..., 2:]) * grids.anchor_wh
     return jnp.concatenate([xy, wh], -1).reshape(b, hw * a, 4)
 

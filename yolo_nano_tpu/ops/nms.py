@@ -54,11 +54,10 @@ def _pairwise_diou_penalty(boxes):
     return d2 / (c2 + 1e-20)
 
 
-def nms_greedy(boxes, scores, valid, iou_thresh: float, diou: bool = False):
-    """Greedy NMS over K score-sorted candidates → keep mask [K].
-
-    `boxes`/`scores` must already be sorted by descending score; `valid`
-    masks padding / below-threshold entries.
+def nms_greedy(boxes, valid, iou_thresh: float, diou: bool = False):
+    """Greedy NMS over K candidates ALREADY SORTED by descending score →
+    keep mask [K]. Rank is the array order itself (scores are not needed);
+    `valid` masks padding / below-threshold entries.
 
     Implementation: fixpoint ("Jacobi") iteration of
         keep_i = valid_i ∧ ¬∃ j<i : keep_j ∧ ovr(j,i) > thresh
@@ -152,7 +151,7 @@ def batched_nms_scored(boxes, score, cls, *, conf_thresh: float = 0.001,
         # per-class NMS via class-offset coordinates
         shifted = top_boxes + (top_cls[:, None] * class_offset).astype(
             top_boxes.dtype)
-        keep = nms_greedy(shifted, top_score, top_valid, iou_thresh, diou=diou)
+        keep = nms_greedy(shifted, top_valid, iou_thresh, diou=diou)
         final_rank = jnp.where(keep, top_score, -1.0)
         out_score, oidx = lax.top_k(final_rank, max_det)
         out_valid = out_score >= 0

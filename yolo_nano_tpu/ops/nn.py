@@ -69,11 +69,13 @@ def init_conv(key, kh: int, kw: int, cin: int, cout: int, groups: int = 1,
     return p
 
 
-def init_bn(cout: int):
-    """BN params + stats. scale=1, bias=1e-4 / mean=0, var=1
-    (reference backbone/shufflenetv2.py:141-145 + torch running-var default)."""
+def init_bn(cout: int, bias_init: float = 1e-4):
+    """BN params + stats: scale=1, mean=0, var=1. bias_init defaults to the
+    reference backbone's custom scheme (1e-4, backbone/shufflenetv2.py:141-145);
+    neck/head Conv blocks pass 0.0 (torch BatchNorm2d default — the reference's
+    _initialize_weights only walks backbone modules)."""
     params = {"scale": jnp.ones((cout,), jnp.float32),
-              "bias": jnp.full((cout,), 1e-4, jnp.float32)}
+              "bias": jnp.full((cout,), bias_init, jnp.float32)}
     stats = {"mean": jnp.zeros((cout,), jnp.float32),
              "var": jnp.ones((cout,), jnp.float32)}
     return params, stats
@@ -139,7 +141,9 @@ def _batch_norm(x, p, stats, train: bool):
     # global mean over (N,H,W): with N sharded over the mesh this lowers to a
     # psum over ICI — sync-BN across the data-parallel group.
     mean = jnp.mean(xf, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+    # two-pass variance: the one-pass E[x²]−E[x]² form cancels catastrophically
+    # in f32 (a channel with |mean|/σ ≳ 2^12 goes negative → rsqrt NaN)
+    var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
     n = x.shape[0] * x.shape[1] * x.shape[2]
     unbiased = var * (n / max(n - 1, 1))
     new_stats = {

@@ -83,8 +83,10 @@ def _kernel(x_ref, dww_ref, dwb_ref, pww_ref, pwb_ref, out_ref, *,
             acc += x[dy:dy + h, dx:dx + w, :] * dww_ref[dy, dx, :]
     acc += dwb_ref[:]
     mid = _act(acc, act_mid)
+    # matmul in the pointwise weights' dtype: bf16 models hit the MXU fast
+    # path, f32 models keep full precision (matching the non-Pallas path)
     y = jax.lax.dot_general(
-        mid.reshape(h * w, -1).astype(jnp.bfloat16), pww_ref[:],
+        mid.reshape(h * w, -1).astype(pww_ref.dtype), pww_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y = _act(y + pwb_ref[:], act_out)
@@ -119,4 +121,4 @@ def fused_dw_pw(x, dw_w, dw_b, pw_w, pw_b, *, act_mid="leaky",
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, dw_w.astype(jnp.float32), dw_b.astype(jnp.float32),
-      pw_w.astype(jnp.bfloat16), pw_b.astype(jnp.float32))
+      pw_w.astype(x.dtype), pw_b.astype(jnp.float32))
