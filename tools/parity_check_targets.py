@@ -1,0 +1,89 @@
+"""Dev-only parity check: our target assignment vs the reference's
+multi_gt_creator (reference tools.py:97-216) on random ground truth.
+
+Compares three implementations on identical inputs:
+  1. reference tools.multi_gt_creator (host numpy, run from /root/reference)
+  2. our sequential numpy oracle (losses/targets.py::build_targets_numpy)
+  3. our vectorized device version (losses/targets.py::build_targets)
+
+Requires /root/reference; skips gracefully otherwise.
+Run: python tools/parity_check_targets.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
+
+
+def main():
+    if not os.path.isdir(REFERENCE):
+        print("reference not available — skipping")
+        return 0
+    sys.path.insert(0, REFERENCE)
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import tools as ref_tools
+    finally:
+        os.chdir(cwd)
+
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.config import MULTI_ANCHOR_SIZE, YoloNanoConfig
+    from yolo_nano_tpu.losses.targets import build_targets, build_targets_numpy
+
+    cfg = YoloNanoConfig(num_classes=20, anchors=MULTI_ANCHOR_SIZE)
+    size = 416
+    rng = np.random.default_rng(0)
+    b, m = 8, 6
+    x1 = rng.uniform(0, 0.7, (b, m))
+    y1 = rng.uniform(0, 0.7, (b, m))
+    w = rng.uniform(0.01, 0.6, (b, m))
+    h = rng.uniform(0.01, 0.6, (b, m))
+    boxes = np.stack([x1, y1, np.minimum(x1 + w, 1.0),
+                      np.minimum(y1 + h, 1.0)], -1).astype(np.float32)
+    labels = rng.integers(0, 20, (b, m)).astype(np.int32)
+    labels[:, -1] = -1  # padding row
+
+    # reference wants per-image python lists [x1,y1,x2,y2,cls]
+    label_lists = [
+        [[*boxes[i, j], float(labels[i, j])] for j in range(m)
+         if labels[i, j] >= 0]
+        for i in range(b)
+    ]
+    ref = ref_tools.multi_gt_creator(size, [8, 16, 32], label_lists,
+                                     anchor_size=list(map(list,
+                                                          MULTI_ANCHOR_SIZE))
+                                     ).numpy()
+    oracle = build_targets_numpy(boxes, labels, cfg, size)
+    device = np.asarray(build_targets(jnp.asarray(boxes),
+                                      jnp.asarray(labels), cfg, size))
+
+    for name, got in (("numpy oracle", oracle), ("device", device)):
+        # atol 2e-4: the device path computes tw/th = log(box/anchor) in f32
+        # (the reference in f64) — measured max divergence ~7e-5, assignments
+        # (cells, anchors, obj, cls, weights) are exact
+        same = np.isclose(got, ref, rtol=1e-4, atol=2e-4).all(-1)
+        frac = same.mean()
+        pos_ref = int((ref[..., 0] == 1).sum())
+        pos_got = int((got[..., 0] == 1).sum())
+        ign_ref = int((ref[..., 0] == -1).sum())
+        ign_got = int((got[..., 0] == -1).sum())
+        status = "OK " if frac > 0.9999 and pos_ref == pos_got else "FAIL"
+        print(f"[{status}] {name:12s}: rows equal {frac:.6f}  "
+              f"positives {pos_got}/{pos_ref}  ignores {ign_got}/{ign_ref}")
+        if status == "FAIL":
+            bad = np.argwhere(~same)[:5]
+            for bi, ni in bad:
+                print("  ref:", np.round(ref[bi, ni], 3),
+                      "\n  got:", np.round(got[bi, ni], 3))
+            return 1
+    print("targets parity PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
