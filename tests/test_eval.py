@@ -108,39 +108,10 @@ def test_coco_eval_crowd_not_penalized():
 
 @pytest.fixture(scope="module")
 def synthetic_voc(tmp_path_factory):
-    import cv2
+    from tests.helpers import make_synthetic_voc
 
-    root = tmp_path_factory.mktemp("vocdev")
-    d = root / "VOC2007"
-    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
-        (d / sub).mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    names, gts = [], {}
-    for i in range(6):
-        name = f"im{i:04d}"
-        names.append(name)
-        h, w = int(rng.integers(200, 400)), int(rng.integers(200, 400))
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        objs = []
-        for _ in range(int(rng.integers(1, 4))):
-            x1 = int(rng.integers(2, w - 80))
-            y1 = int(rng.integers(2, h - 80))
-            x2 = x1 + int(rng.integers(40, 78))
-            y2 = y1 + int(rng.integers(40, 78))
-            cls = ["dog", "car", "person"][int(rng.integers(3))]
-            objs.append((cls, x1, y1, x2, y2))
-        gts[name] = (objs, w, h)
-        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), img)
-        xml_objs = "".join(
-            f"<object><name>{c}</name><difficult>0</difficult><bndbox>"
-            f"<xmin>{a}</xmin><ymin>{b}</ymin><xmax>{cc}</xmax>"
-            f"<ymax>{dd}</ymax></bndbox></object>"
-            for c, a, b, cc, dd in objs)
-        (d / "Annotations" / f"{name}.xml").write_text(
-            f"<annotation><size><width>{w}</width><height>{h}</height>"
-            f"</size>{xml_objs}</annotation>")
-    (d / "ImageSets" / "Main" / "test.txt").write_text("\n".join(names) + "\n")
-    return str(root), gts
+    return make_synthetic_voc(tmp_path_factory.mktemp("vocdev"),
+                              splits=("test",))
 
 
 def _oracle_predict_factory(dataset, img_size, class_names, max_det=16):

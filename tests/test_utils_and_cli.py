@@ -15,33 +15,11 @@ from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
 
 @pytest.fixture(scope="module")
 def synthetic_voc(tmp_path_factory):
-    import cv2
+    from tests.helpers import make_synthetic_voc
 
-    root = tmp_path_factory.mktemp("vocdev")
-    d = root / "VOC2007"
-    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
-        (d / sub).mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    names = []
-    for i in range(6):
-        name = f"im{i:04d}"
-        names.append(name)
-        h, w = 240, 320
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        x1, y1 = 40 + 10 * i, 30
-        x2, y2 = x1 + 80, y1 + 100
-        cv2.rectangle(img, (x1, y1), (x2, y2), (255, 255, 255), -1)
-        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), img)
-        (d / "Annotations" / f"{name}.xml").write_text(
-            f"<annotation><size><width>{w}</width><height>{h}</height></size>"
-            f"<object><name>dog</name><difficult>0</difficult><bndbox>"
-            f"<xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax>"
-            f"<ymax>{y2}</ymax></bndbox></object></annotation>")
-    (d / "ImageSets" / "Main" / "trainval.txt").write_text(
-        "\n".join(names) + "\n")
-    (d / "ImageSets" / "Main" / "test.txt").write_text(
-        "\n".join(names) + "\n")
-    return str(root)
+    root, _ = make_synthetic_voc(tmp_path_factory.mktemp("vocdev"),
+                                 classes=("dog",), deterministic_boxes=True)
+    return root
 
 
 def test_checkpoint_round_trip(tmp_path):

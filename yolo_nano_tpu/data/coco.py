@@ -14,17 +14,12 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import cv2
 import numpy as np
 
-from yolo_nano_tpu.data.mosaic import load_mosaic
-from yolo_nano_tpu.data.transforms import (
-    color_transform,
-    train_transform,
-    val_transform_with_boxes,
-)
+from yolo_nano_tpu.data.base import DetectionDatasetBase
 
 # 91-entry display-name table (reference data/coco.py:15-28)
 COCO_CLASS_LABELS = (
@@ -45,7 +40,7 @@ COCO_CLASS_LABELS = (
 )
 
 
-class COCODataset:
+class COCODataset(DetectionDatasetBase):
     """data_dir: COCO root containing annotations/ and {split}/ image dirs."""
 
     def __init__(self, data_dir: str, image_set: str = "train2017",
@@ -74,9 +69,6 @@ class COCODataset:
         self.ids = [im["id"] for im in self.images]
         self._img_info = {im["id"]: im for im in self.images}
 
-    def __len__(self) -> int:
-        return len(self.ids)
-
     def _img_path(self, img_id: int) -> str:
         info = self._img_info[img_id]
         name = info.get("file_name", "{:012}.jpg".format(img_id))
@@ -103,31 +95,6 @@ class COCODataset:
                                    xmax / width, ymax / height,
                                    float(cls_id)])
         return img, np.asarray(target, np.float32).reshape(-1, 5), height, width
-
-    def _load_for_mosaic(self, index: int):
-        img, target, _, _ = self.load_img_targets(index)
-        return img, target
-
-    def pull_item(self, index: int, rng: Optional[np.random.Generator] = None):
-        rng = rng or np.random.default_rng()
-        if self.mosaic and rng.integers(2):
-            others = rng.choice(len(self.ids), size=3, replace=False)
-            img, target = load_mosaic(self._load_for_mosaic,
-                                      [index, *others.tolist()],
-                                      self.img_size, rng)
-            h = w = self.img_size
-            tf = color_transform
-        else:
-            img, target, h, w = self.load_img_targets(index)
-            tf = train_transform if self.augment else None
-        if len(target) == 0:
-            target = np.zeros((1, 5), np.float32)
-        if tf is None:
-            tf = val_transform_with_boxes  # boxes remapped into letterbox frame
-        img, boxes, labels, scale, offset = tf(
-            img, target[:, :4], target[:, 4], self.img_size, rng)
-        out = np.concatenate([boxes, labels[:, None]], 1).astype(np.float32)
-        return img, out, h, w, scale, offset
 
     def pull_image(self, index: int):
         img_id = self.ids[index]

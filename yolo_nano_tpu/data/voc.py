@@ -9,17 +9,12 @@ from __future__ import annotations
 
 import os.path as osp
 import xml.etree.ElementTree as ET
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import cv2
 import numpy as np
 
-from yolo_nano_tpu.data.mosaic import load_mosaic
-from yolo_nano_tpu.data.transforms import (
-    color_transform,
-    train_transform,
-    val_transform_with_boxes,
-)
+from yolo_nano_tpu.data.base import DetectionDatasetBase
 
 # reference data/voc.py:17-22
 VOC_CLASSES = (
@@ -51,7 +46,7 @@ def parse_voc_xml(path: str, width: int, height: int,
     return res
 
 
-class VOCDataset:
+class VOCDataset(DetectionDatasetBase):
     """VOCdevkit loader. data_dir points at VOCdevkit/ (containing VOC2007,
     VOC2012). image_sets like reference data/voc.py:94."""
 
@@ -75,9 +70,6 @@ class VOCDataset:
                 self.ids.extend((rootpath, line.strip()) for line in f
                                 if line.strip())
 
-    def __len__(self) -> int:
-        return len(self.ids)
-
     def _img_path(self, img_id) -> str:
         return osp.join(img_id[0], "JPEGImages", img_id[1] + ".jpg")
 
@@ -94,33 +86,6 @@ class VOCDataset:
         target = parse_voc_xml(self._anno_path(img_id), w, h,
                                self.keep_difficult)
         return img, np.asarray(target, np.float32).reshape(-1, 5), h, w
-
-    def _load_for_mosaic(self, index: int):
-        img, target, _, _ = self.load_img_targets(index)
-        return img, target
-
-    def pull_item(self, index: int, rng: Optional[np.random.Generator] = None):
-        """(img HWC RGB float32, target [M,5] normalized, h, w, scale, offset)
-        (reference data/voc.py:214-235)."""
-        rng = rng or np.random.default_rng()
-        if self.mosaic and rng.integers(2):
-            others = rng.choice(len(self.ids), size=3, replace=False)
-            img, target = load_mosaic(self._load_for_mosaic,
-                                      [index, *others.tolist()],
-                                      self.img_size, rng)
-            h = w = self.img_size
-            tf = color_transform
-        else:
-            img, target, h, w = self.load_img_targets(index)
-            tf = train_transform if self.augment else None
-        if len(target) == 0:
-            target = np.zeros((1, 5), np.float32)  # reference voc.py:226-227
-        if tf is None:
-            tf = val_transform_with_boxes  # boxes remapped into letterbox frame
-        img, boxes, labels, scale, offset = tf(
-            img, target[:, :4], target[:, 4], self.img_size, rng)
-        out = np.concatenate([boxes, labels[:, None]], 1).astype(np.float32)
-        return img, out, h, w, scale, offset
 
     def pull_image(self, index: int):
         """(raw BGR image, img_id) (reference data/voc.py:238-250)."""

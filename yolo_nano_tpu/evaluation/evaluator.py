@@ -79,6 +79,9 @@ class VOCEvaluator:
         self.display = display
         self.map = 0.0
         self.aps: Dict[str, float] = {}
+        self._gt_cache: Dict[str, List[dict]] = {}  # parsed once, reused
+        # (the reference pickles parsed annotations for the same reason,
+        # vocapi_evaluator.py:241-257)
 
     def evaluate(self, predict_fn: Callable) -> float:
         per_class: List[List] = [[] for _ in VOC_CLASSES]
@@ -89,12 +92,14 @@ class VOCEvaluator:
             for b, s, c in zip(boxes, scores, classes):
                 per_class[int(c)].append((name, float(s), b))
 
-        # raw-XML ground truth per class
-        gt_cache = {}
-        for idx in range(len(self.dataset)):
-            img_id = self.dataset.ids[idx]
-            gt_cache[img_id[1]] = parse_rec_raw(
-                self.dataset._anno_path(img_id))
+        # raw-XML ground truth per class (parsed on the first evaluate only —
+        # the training eval hook calls this every N epochs)
+        if not self._gt_cache:
+            for idx in range(len(self.dataset)):
+                img_id = self.dataset.ids[idx]
+                self._gt_cache[img_id[1]] = parse_rec_raw(
+                    self.dataset._anno_path(img_id))
+        gt_cache = self._gt_cache
 
         aps = []
         for ci, cls in enumerate(VOC_CLASSES):
