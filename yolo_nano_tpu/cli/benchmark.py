@@ -31,6 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--nms_thresh", default=0.45, type=float)
     p.add_argument("--backbone", default="1.0x")
     p.add_argument("--no_fuse", action="store_true", default=False)
+    p.add_argument("--reference_protocol", action="store_true", default=False,
+                   help="also time the reference's own protocol: batch 1, "
+                        "per-image sync (benchmark.py:45-82; first 2 iters "
+                        "excluded). NOTE: on tunneled devices this measures "
+                        "round-trip latency, not chip throughput")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return p.parse_args(argv)
@@ -96,6 +101,21 @@ def main(argv=None):
         np.asarray(predict_fn(batches[0])[1])
         lats.append(time.perf_counter() - t0)
     p50 = float(np.median(lats))
+
+    if args.reference_protocol:
+        single_fn = make_predict_fn(params, stats, cfg, args.img_size,
+                                    fold=not args.no_fuse, dtype=args.dtype)
+        one = batches[0][:1]
+        np.asarray(single_fn(one)[1])
+        times = []
+        for i in range(102):
+            t0 = time.perf_counter()
+            np.asarray(single_fn(one)[1])
+            if i >= 2:  # reference benchmark.py:78 warmup exclusion
+                times.append(time.perf_counter() - t0)
+        print(f"reference protocol (batch 1, per-image sync): "
+              f"{1.0 / np.mean(times):.1f} FPS, "
+              f"p50 {np.median(times) * 1e3:.2f} ms/img")
 
     fps = n_img / dt
     print(f"FPS: {fps:.1f} img/s (batch {args.batch_size})")

@@ -45,12 +45,26 @@ def _run_batched(dataset, img_size: int, batch_size: int,
                  predict_fn: Callable, num_workers: int = 4,
                  verbose: bool = True):
     """Yields (meta, boxes [D,4] original-frame pixels, scores [D],
-    classes [D]) per real image."""
+    classes [D]) per real image.
+
+    Pipelined: batch i+1's inference is dispatched (async) before batch i's
+    results are fetched to host, overlapping device compute with host-side
+    letterbox-undo and bookkeeping."""
     loader = EvalLoader(dataset, img_size, batch_size, num_workers)
     done = 0
-    for images, metas in loader:
-        boxes, scores, classes, valid = (np.asarray(t) for t in
-                                         predict_fn(images))
+
+    def batches():
+        pending = None
+        for images, metas in loader:
+            out = predict_fn(images)  # async dispatch
+            if pending is not None:
+                yield pending
+            pending = (out, metas)
+        if pending is not None:
+            yield pending
+
+    for out, metas in batches():
+        boxes, scores, classes, valid = (np.asarray(t) for t in out)
         for bi, meta in enumerate(metas):
             v = valid[bi]
             b = boxes[bi][v]
