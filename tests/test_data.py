@@ -175,3 +175,22 @@ def test_loader_fixed_shapes_and_determinism(tmp_path):
         np.testing.assert_array_equal(ba, bb)
     # padding labels are -1
     assert (batches_a[0][2] == -1).any()
+
+
+def test_loader_surfaces_worker_exceptions(tmp_path):
+    """Regression: a worker exception used to kill the producer thread
+    without the sentinel, hanging the consumer forever."""
+    import pytest as _pytest
+
+    from yolo_nano_tpu.data.loader import DetectionLoader
+
+    class BadDataset:
+        def __len__(self):
+            return 4
+
+        def pull_item(self, index, rng=None):
+            raise RuntimeError("corrupt image")
+
+    loader = DetectionLoader(BadDataset(), batch_size=2, num_workers=2)
+    with _pytest.raises(RuntimeError, match="corrupt image"):
+        next(iter(loader))

@@ -65,7 +65,12 @@ def main(argv=None):
                                  fold=not args.no_fuse, dtype=args.dtype)
 
     # input batches: real COCO-val letterboxed images when available
-    # (reference benchmark.py:45-61), synthetic otherwise
+    # (reference benchmark.py:45-61), synthetic otherwise. The timed loop
+    # cycles a bounded set of device-resident batches (≤2 GB of HBM): parking
+    # all 2002 images on device would pin ~10 GB at 640px, while transferring
+    # per iteration would time the host link instead of the chip.
+    batch_bytes = args.batch_size * args.img_size * args.img_size * 3 * 4
+    max_dev_batches = max(1, int(2e9 // batch_bytes))
     batches = []
     if args.root:
         from yolo_nano_tpu.data.coco import COCODataset
@@ -75,7 +80,8 @@ def main(argv=None):
         loader = EvalLoader(ds, args.img_size, args.batch_size)
         for images, _ in loader:
             batches.append(jnp.asarray(images))
-            if len(batches) * args.batch_size >= 2002:  # benchmark.py:45
+            if (len(batches) >= max_dev_batches
+                    or len(batches) * args.batch_size >= 2002):
                 break
     else:
         rng = np.random.default_rng(0)

@@ -45,6 +45,26 @@ def class_names_for(dataset: str) -> Sequence[str]:
     return [COCO_CLASS_LABELS[c] for c in coco_cat_ids]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _predict_jit(cfg: YoloNanoConfig, input_size: int, bf16: bool):
+    """One compiled predict core per (config, resolution, dtype) — params are
+    jit ARGUMENTS, so rebuilding a predict fn with fresh weights (e.g. the
+    training eval hook every N epochs) reuses the compilation."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.models.yolo_nano import predict
+
+    def core(params, stats, images):
+        x = images.astype(jnp.bfloat16) if bf16 else images
+        return predict(params, stats, x, cfg, input_size)
+
+    return jax.jit(core)
+
+
 def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
                     fold: bool = True, dtype: str = "bfloat16",
                     mesh=None) -> Callable:
@@ -59,7 +79,6 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
     import jax
     import jax.numpy as jnp
 
-    from yolo_nano_tpu.models.yolo_nano import predict
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
     if fold:
@@ -70,21 +89,30 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
-    def fn(images):
+    if mesh is None:
+        jitted = _predict_jit(cfg, input_size, dtype == "bfloat16")
+
+        def fn(images):
+            return jitted(params, stats, jnp.asarray(images))
+
+        return fn
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_nano_tpu.models.yolo_nano import predict
+
+    data = NamedSharding(mesh, P("data"))
+
+    def core(images):
         x = jnp.asarray(images)
         if dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
         return predict(params, stats, x, cfg, input_size)
 
-    if mesh is None:
-        return jax.jit(fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    data = NamedSharding(mesh, P("data"))
-    jitted = jax.jit(fn, in_shardings=data, out_shardings=data)
+    sharded_jit = jax.jit(core, in_shardings=data, out_shardings=data)
 
     def sharded(images):
-        return jitted(jax.device_put(jnp.asarray(images), data))
+        return sharded_jit(jax.device_put(jnp.asarray(images), data))
 
     return sharded
 

@@ -67,6 +67,10 @@ def main(argv=None):
     names = class_names_for(args.dataset)
     os.makedirs(args.path_to_save, exist_ok=True)
 
+    if args.mode in ("image", "video") and not args.path:
+        raise SystemExit(f"--path is required for --mode {args.mode} "
+                         "(an image file/directory or a video file)")
+
     if args.mode == "image":
         paths = ([os.path.join(args.path, f) for f in os.listdir(args.path)]
                  if os.path.isdir(args.path) else [args.path])

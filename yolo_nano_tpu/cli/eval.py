@@ -56,7 +56,12 @@ def load_weights(weight_dir: str, cfg, use_ema: bool):
     except Exception:
         template = create_train_state(params, stats, tx, use_ema=False)
         state = CheckpointManager(weight_dir).restore(template)
-    if use_ema and state.ema_params is not None:
+    if use_ema:
+        if state.ema_params is None:
+            raise SystemExit(
+                "--ema requested but the checkpoint carries no EMA state "
+                "(was training run without --ema?); drop --ema to evaluate "
+                "the raw weights")
         return state.ema_params, state.ema_stats
     return state.params, state.stats
 

@@ -28,8 +28,11 @@ def kmeans_plus_plus_init(wh: np.ndarray, k: int,
     centroids = [wh[rng.integers(len(wh))]]
     for _ in range(k - 1):
         d = 1.0 - wh_iou(wh, np.asarray(centroids)).max(axis=1)
-        probs = d / d.sum()
-        centroids.append(wh[rng.choice(len(wh), p=probs)])
+        total = d.sum()
+        if total <= 0:  # all boxes identical to a centroid — degenerate data
+            centroids.append(wh[rng.integers(len(wh))])
+            continue
+        centroids.append(wh[rng.choice(len(wh), p=d / total)])
     return np.asarray(centroids)
 
 

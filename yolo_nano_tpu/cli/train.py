@@ -115,8 +115,11 @@ def main(argv=None):
                                   batch_size=args.batch_size,
                                   num_workers=args.num_workers)
 
+    # mosaic merges 4 images' ground truth — scale the padding budget so
+    # crowded mosaics don't silently truncate boxes
+    max_boxes = args.max_boxes * (4 if args.mosaic else 1)
     loader = DetectionLoader(dataset, args.batch_size,
-                             max_boxes=args.max_boxes,
+                             max_boxes=max_boxes,
                              num_workers=args.num_workers, seed=args.seed)
     epoch_size = len(loader)
 

@@ -87,19 +87,36 @@ class DetectionLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that also observes `stop` — a consumer abandoning
+            the iterator mid-epoch must not leave this thread blocked on a
+            full queue holding image batches."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for bi in range(nb):
-                    if stop.is_set():
-                        return
-                    lo = bi * self.batch_size
-                    hi = min(lo + self.batch_size, len(order))
-                    items = list(pool.map(load_one, range(lo, hi)))
-                    images = np.stack([it[0] for it in items])
-                    boxes, labels = pad_targets([it[1] for it in items],
-                                                self.max_boxes)
-                    out_q.put((images, boxes, labels))
-            out_q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for bi in range(nb):
+                        if stop.is_set():
+                            return
+                        lo = bi * self.batch_size
+                        hi = min(lo + self.batch_size, len(order))
+                        items = list(pool.map(load_one, range(lo, hi)))
+                        images = np.stack([it[0] for it in items])
+                        boxes, labels = pad_targets([it[1] for it in items],
+                                                    self.max_boxes)
+                        if not _put((images, boxes, labels)):
+                            return
+            except BaseException as e:  # surface worker errors, don't hang
+                _put(e)
+                return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -108,6 +125,8 @@ class DetectionLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
