@@ -1,0 +1,47 @@
+"""Serving export → load round-trip: the artifact reproduces the source
+checkpoint's predictions exactly."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    from tests.helpers import make_synthetic_voc
+    from yolo_nano_tpu.cli.train import main as train_main
+
+    root, _ = make_synthetic_voc(tmp_path_factory.mktemp("voc"),
+                                 classes=("dog",), deterministic_boxes=True)
+    save = str(tmp_path_factory.mktemp("w"))
+    train_main(["-d", "voc", "--root", root, "--voc_sets", "2007",
+                "--img_size", "64", "--eval_size", "64", "--batch_size", "2",
+                "--max_epoch", "1", "--eval_epoch", "1", "--num_workers", "1",
+                "--save_folder", save, "-no_wp", "--ema"])
+    import os
+
+    return os.path.join(save, "voc", "yolo_nano", "ckpt")
+
+
+def test_export_and_load_predictor_round_trip(trained_ckpt, tmp_path):
+    import jax
+
+    from yolo_nano_tpu.cli.common import build_config, make_predict_fn
+    from yolo_nano_tpu.cli.eval import load_weights
+    from yolo_nano_tpu.cli.export import main as export_main
+    from yolo_nano_tpu.serving import load_predictor
+
+    out = str(tmp_path / "artifact")
+    export_main(["--weight", trained_ckpt, "--out", out, "-d", "voc",
+                 "--img_size", "64", "--ema", "--dtype", "float32"])
+
+    predict = load_predictor(out)
+    cfg = build_config("voc")
+    params, stats = load_weights(trained_ckpt, cfg, use_ema=True)
+    direct = make_predict_fn(params, stats, cfg, 64, dtype="float32")
+
+    x = np.asarray(jax.random.uniform(jax.random.key(0), (2, 64, 64, 3)),
+                   np.float32)
+    a = [np.asarray(t) for t in predict(x)]
+    b = [np.asarray(t) for t in direct(x)]
+    for ga, gb in zip(a, b):
+        np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)

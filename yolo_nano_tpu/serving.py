@@ -1,0 +1,42 @@
+"""One-call loader for exported serving artifacts (see cli/export.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+
+def load_predictor(artifact_dir: str, mesh=None) -> Callable:
+    """Load an exported artifact → predict_fn(images) → (boxes, scores,
+    classes, valid). `images`: [B, S, S, 3] float32 RGB, normalized like
+    data.transforms.val_transform output. Pass a mesh for multi-chip
+    batch-sharded serving."""
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.cli.common import make_predict_fn
+    from yolo_nano_tpu.config import YoloNanoConfig
+    from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
+    from yolo_nano_tpu.utils.checkpoint import load_params
+    from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
+
+    with open(os.path.join(artifact_dir, "config.json")) as f:
+        meta = json.load(f)
+    raw = dict(meta["config"])
+    raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
+    raw["strides"] = tuple(raw["strides"])
+    cfg = YoloNanoConfig(**raw)
+
+    # template with the exported (folded, cast) structure
+    import jax
+
+    p0, s0 = init_yolo_nano(jax.random.key(0), cfg)
+    template = fold_bn(p0, s0)
+    if meta["dtype"] == "bfloat16":
+        template = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, template)
+    params = load_params(os.path.join(artifact_dir, "params"), template)
+    stats = empty_stats_like(params)
+    return make_predict_fn(params, stats, cfg, meta["img_size"],
+                           fold=False, dtype=meta["dtype"], mesh=mesh)

@@ -47,8 +47,13 @@ class CheckpointManager:
 
 
 def save_params(path: str, params) -> None:
-    """Weights-only export (deploy artifact, reference torch.save analog)."""
-    ocp.StandardCheckpointer().save(os.path.abspath(path), params)
+    """Weights-only export (deploy artifact, reference torch.save analog).
+    Blocks until the (async) write completes — callers are typically CLIs
+    that exit immediately after."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+    ckptr.close()
 
 
 def load_params(path: str, template):
