@@ -22,8 +22,15 @@ import numpy as np
 
 def convert(state_dict, model_size: str = "1.0x"):
     """torch state_dict (torchvision shufflenet_v2 naming: conv1/stage2..4)
-    → (backbone_params, backbone_stats) pytrees."""
-    from yolo_nano_tpu.config import SHUFFLENETV2_REPEATS
+    → (backbone_params, backbone_stats) pytrees. model_size validates the
+    checkpoint's channel widths against the expected variant."""
+    from yolo_nano_tpu.config import SHUFFLENETV2_CHANNELS, SHUFFLENETV2_REPEATS
+
+    expect_stem = SHUFFLENETV2_CHANNELS[model_size][0]
+    got_stem = np.asarray(state_dict["conv1.0.weight"]).shape[0]
+    if got_stem != expect_stem:
+        raise ValueError(f"checkpoint stem has {got_stem} channels; "
+                         f"--size {model_size} expects {expect_stem}")
 
     def w(key):  # OIHW → HWIO
         return np.ascontiguousarray(

@@ -3,6 +3,7 @@ box drawing (reference test.py:50-92 capability)."""
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence
 
 import numpy as np
@@ -45,9 +46,6 @@ def class_names_for(dataset: str) -> Sequence[str]:
     return [COCO_CLASS_LABELS[c] for c in coco_cat_ids]
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=None)
 def _predict_jit(cfg: YoloNanoConfig, input_size: int, bf16: bool):
     """One compiled predict core per (config, resolution, dtype) — params are
@@ -85,9 +83,9 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
         params = fold_bn(params, stats)
         stats = empty_stats_like(params)
     if dtype == "bfloat16":
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params)
+        from yolo_nano_tpu.utils.fuse_bn import cast_f32_to_bf16
+
+        params = cast_f32_to_bf16(params)
 
     if mesh is None:
         jitted = _predict_jit(cfg, input_size, dtype == "bfloat16")

@@ -52,9 +52,9 @@ def main(argv=None):
     params, stats = load_weights(args.weight, cfg, args.ema)
     folded = fold_bn(params, stats)
     if args.dtype == "bfloat16":
-        folded = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, folded)
+        from yolo_nano_tpu.utils.fuse_bn import cast_f32_to_bf16
+
+        folded = cast_f32_to_bf16(folded)
 
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)

@@ -33,9 +33,9 @@ def load_predictor(artifact_dir: str, mesh=None) -> Callable:
     p0, s0 = init_yolo_nano(jax.random.key(0), cfg)
     template = fold_bn(p0, s0)
     if meta["dtype"] == "bfloat16":
-        template = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, template)
+        from yolo_nano_tpu.utils.fuse_bn import cast_f32_to_bf16
+
+        template = cast_f32_to_bf16(template)
     params = load_params(os.path.join(artifact_dir, "params"), template)
     stats = empty_stats_like(params)
     return make_predict_fn(params, stats, cfg, meta["img_size"],

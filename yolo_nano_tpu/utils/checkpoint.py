@@ -48,13 +48,17 @@ class CheckpointManager:
 
 def save_params(path: str, params) -> None:
     """Weights-only export (deploy artifact, reference torch.save analog).
-    Blocks until the (async) write completes — callers are typically CLIs
-    that exit immediately after."""
+    Overwrites an existing artifact; blocks until the (async) write completes
+    — callers are typically CLIs that exit immediately after."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
     ckptr.close()
 
 
 def load_params(path: str, template):
-    return ocp.StandardCheckpointer().restore(os.path.abspath(path), template)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        return ckptr.restore(os.path.abspath(path), template)
+    finally:
+        ckptr.close()

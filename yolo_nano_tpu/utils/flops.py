@@ -33,7 +33,10 @@ def flops_and_params(params, stats, cfg: YoloNanoConfig, input_size: int,
     x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
     compiled = jax.jit(fwd).lower(params, x).compile()
     analysis = compiled.cost_analysis()
-    total = float(analysis.get("flops", -1.0))
+    if "flops" not in analysis:
+        print("FLOPs: unavailable (backend reports no cost analysis)")
+        return float("nan"), float("nan"), count_params(params)
+    total = float(analysis["flops"])
     per_image = total / batch
     n = count_params(params)
     gflops = per_image / 1e9

@@ -44,6 +44,16 @@ def fold_bn(params, stats):
     return params
 
 
+def cast_f32_to_bf16(tree):
+    """Cast every float32 leaf to bfloat16 (exporter and loader must agree —
+    this is the single definition both use)."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tree)
+
+
 def empty_stats_like(folded):
     """A stats tree of `None`s structurally compatible with folded params for
     apply functions that index stats by key."""
