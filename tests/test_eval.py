@@ -240,3 +240,84 @@ def test_coco_evaluator_oracle_predictions(synthetic_coco):
     ap50, ap = ev.evaluate(predict)
     assert ap50 == pytest.approx(1.0, abs=1e-6)
     assert ap > 0.95  # tiny letterbox rounding can shave the top thresholds
+
+
+def test_voc_evaluator_dump_artifacts(synthetic_voc, tmp_path):
+    """--dump_dets artifacts: VOCdevkit-style per-class .txt (1-based coords)
+    + detections.pkl (reference vocapi_evaluator.py:91-92,142-157)."""
+    import os
+    import pickle
+
+    from yolo_nano_tpu.data.voc import VOC_CLASSES
+    from yolo_nano_tpu.evaluation.evaluator import VOCEvaluator
+
+    root, gts = synthetic_voc
+    dump = str(tmp_path / "dets")
+    ev = VOCEvaluator(root, img_size=128, set_type="test", batch_size=4,
+                      num_workers=2, dump_dir=dump)
+    predict = _oracle_predict_factory(ev.dataset, 128, list(VOC_CLASSES))
+    ev.evaluate(predict)
+
+    with open(os.path.join(dump, "detections.pkl"), "rb") as f:
+        all_boxes = pickle.load(f)
+    assert set(all_boxes) == set(VOC_CLASSES)
+    n_txt_dets = 0
+    for cls in VOC_CLASSES:
+        path = os.path.join(dump, "results", f"det_test_{cls}.txt")
+        assert os.path.exists(path)
+        for ln in open(path):
+            name, score, x1, y1, x2, y2 = ln.split()
+            n_txt_dets += 1
+            assert name in gts and 0.0 < float(score) <= 1.0
+            # 1-based coords round-trip back to ~the gt box (oracle preds)
+            match = any(abs(float(x1) - 1 - gx1) < 3 and
+                        abs(float(y2) - 1 - gy2) < 3
+                        for c, gx1, gy1, gx2, gy2 in gts[name][0]
+                        if c == cls)
+            assert match
+    total_gt = sum(len(objs) for objs, _, _ in gts.values())
+    assert n_txt_dets == total_gt
+
+
+def test_coco_evaluator_dump_json(synthetic_coco, tmp_path):
+    from yolo_nano_tpu.evaluation.evaluator import COCOEvaluator
+
+    dump = str(tmp_path / "out" / "coco_results.json")
+    ev = COCOEvaluator(synthetic_coco, img_size=128, batch_size=4,
+                       num_workers=2, dump_path=dump)
+    # reuse the oracle from the test above via a fresh evaluator dataset
+    ds = ev.dataset
+    from yolo_nano_tpu.data.transforms import resize_letterbox
+
+    def predict(images, _state={"cursor": 0}):
+        b = images.shape[0]
+        boxes = np.zeros((b, 16, 4), np.float32)
+        scores = np.zeros((b, 16), np.float32)
+        classes = np.zeros((b, 16), np.int32)
+        valid = np.zeros((b, 16), bool)
+        for bi in range(b):
+            idx = _state["cursor"] + bi
+            if idx >= len(ds):
+                continue
+            img_id = ds.ids[idx]
+            img, _ = ds.pull_image(idx)
+            h, w = img.shape[:2]
+            _, _, scale, offset = resize_letterbox(img, 128)
+            for mi, a in enumerate(ds._anns.get(img_id, ())[:16]):
+                x, y, bw, bh = a["bbox"]
+                pct = np.array([x, y, x + bw, y + bh], np.float32) / \
+                    np.array([w, h, w, h], np.float32)
+                boxes[bi, mi] = pct * scale + offset
+                scores[bi, mi] = 0.9
+                classes[bi, mi] = ds.class_ids.index(a["category_id"])
+                valid[bi, mi] = True
+        _state["cursor"] += b
+        return boxes, scores, classes, valid
+
+    ap50, _ = ev.evaluate(predict)
+    assert ap50 == pytest.approx(1.0, abs=1e-6)
+    results = json.load(open(dump))
+    assert len(results) == sum(len(v) for v in ds._anns.values())
+    for r in results:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert r["category_id"] in ds.class_ids

@@ -67,12 +67,22 @@ def test_train_cli_auto_resume(tmp_path):
             "--img_size", "64", "--eval_size", "64", "--batch_size", "2",
             "--eval_epoch", "1", "--num_workers", "1", "--save_folder", save,
             "-no_wp"]
-    train_main(base + ["--max_epoch", "1"])
-    # resume auto: continues from epoch 1 (2 steps/epoch) to epoch 2
-    train_main(base + ["--max_epoch", "2", "--resume", "auto"])
     import json
     import os
 
     log = os.path.join(save, "voc", "yolo_nano", "train_log.jsonl")
-    steps = [json.loads(ln)["step"] for ln in open(log)]
-    assert max(steps) >= 2  # second run continued past the first run's steps
+
+    def logged_steps():
+        return [json.loads(ln)["step"] for ln in open(log)]
+
+    train_main(base + ["--max_epoch", "1"])
+    first_run = logged_steps()
+    # resume auto: continues from epoch 1 (2 steps/epoch) to epoch 2
+    train_main(base + ["--max_epoch", "2", "--resume", "auto"])
+    second_run = logged_steps()[len(first_run):]
+    # every step the second run logs must be past the first run's last step —
+    # a resume that restarted from scratch would log steps <= max(first_run)
+    assert second_run, "second run logged nothing"
+    assert min(second_run) > max(first_run), (
+        f"resume restarted from scratch: {second_run} vs first run "
+        f"ending at {max(first_run)}")

@@ -1,0 +1,151 @@
+"""Generate synthetic shape-detection datasets (VOC-format or COCO-format).
+
+Zero-egress environments have no real VOC/COCO; every end-to-end validation
+run in this repo (training CLIs, evaluators, parity-vs-reference training,
+NMS-budget sweeps) uses these procedurally rendered scenes instead: colored
+shapes (red circle / green rectangle / blue triangle) on blurred noise
+backgrounds, with exact box annotations.
+
+Class mapping (same recipe round 1 trained its checkpoints on):
+    circle   → VOC "aeroplane" / COCO category 1 ("person")
+    rectangle→ VOC "bicycle"   / COCO category 3 ("car")
+    triangle → VOC "bird"      / COCO category 7 ("train")
+
+Usage:
+    python tools/make_synthetic_data.py voc  /tmp/shapes_voc  --n 200
+    python tools/make_synthetic_data.py coco /tmp/shapes_coco --n 80
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+VOC_SHAPE_CLASSES = ("aeroplane", "bicycle", "bird")
+COCO_SHAPE_CATS = (1, 3, 7)  # person, car, train
+COCO_SHAPE_NAMES = ("person", "car", "train")
+
+
+def draw_shape(img, cls: int, x1: int, y1: int, x2: int, y2: int) -> None:
+    import cv2
+
+    cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
+    if cls == 0:
+        cv2.circle(img, (cx, cy), (x2 - x1) // 2, (40, 40, 220), -1)
+    elif cls == 1:
+        cv2.rectangle(img, (x1, y1), (x2, y2), (60, 200, 60), -1)
+    else:
+        pts = np.array([[cx, y1], [x1, y2], [x2, y2]])
+        import cv2 as _cv2
+
+        _cv2.fillPoly(img, [pts], (220, 80, 40))
+
+
+def render_scene(rng, min_h=240, max_h=400, min_w=280, max_w=480,
+                 max_objs=3, min_size=40, max_size=90):
+    """One scene → (img BGR uint8, [(cls_idx, x1, y1, x2, y2), ...])."""
+    import cv2
+
+    h = int(rng.integers(min_h, max_h))
+    w = int(rng.integers(min_w, max_w))
+    img = rng.integers(60, 190, (h, w, 3), dtype=np.uint8)
+    img = cv2.GaussianBlur(img, (5, 5), 2)
+    objs = []
+    for _ in range(int(rng.integers(1, max_objs + 1))):
+        s = int(rng.integers(min_size, max_size))
+        x1 = int(rng.integers(2, w - s - 2))
+        y1 = int(rng.integers(2, h - s - 2))
+        cls = int(rng.integers(3))
+        draw_shape(img, cls, x1, y1, x1 + s, y1 + s)
+        objs.append((cls, x1, y1, x1 + s, y1 + s))
+    return img, objs
+
+
+def make_voc(out_root: str, n: int = 200, train_frac: float = 0.8,
+             seed: int = 42) -> None:
+    import cv2
+
+    root = os.path.join(out_root, "VOC2007")
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_train = int(n * train_frac)
+    names_tr, names_te = [], []
+    for i in range(n):
+        name = f"s{i:05d}"
+        (names_tr if i < n_train else names_te).append(name)
+        img, objs = render_scene(rng)
+        h, w = img.shape[:2]
+        cv2.imwrite(os.path.join(root, "JPEGImages", f"{name}.jpg"), img)
+        xo = "".join(
+            f"<object><name>{VOC_SHAPE_CLASSES[c]}</name>"
+            f"<difficult>0</difficult><bndbox><xmin>{a}</xmin>"
+            f"<ymin>{b}</ymin><xmax>{cc}</xmax><ymax>{d}</ymax>"
+            f"</bndbox></object>" for c, a, b, cc, d in objs)
+        with open(os.path.join(root, "Annotations", f"{name}.xml"), "w") as f:
+            f.write(f"<annotation><size><width>{w}</width>"
+                    f"<height>{h}</height></size>{xo}</annotation>")
+    sets = os.path.join(root, "ImageSets", "Main")
+    with open(os.path.join(sets, "trainval.txt"), "w") as f:
+        f.write("\n".join(names_tr) + "\n")
+    with open(os.path.join(sets, "test.txt"), "w") as f:
+        f.write("\n".join(names_te) + "\n")
+    print(f"VOC shapes: {len(names_tr)} train / {len(names_te)} test "
+          f"→ {out_root}")
+
+
+def make_coco(out_root: str, n: int = 80, train_frac: float = 0.75,
+              seed: int = 7) -> None:
+    import cv2
+
+    os.makedirs(os.path.join(out_root, "annotations"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_train = int(n * train_frac)
+    splits = (("train2017", 0, n_train), ("val2017", n_train, n))
+    for split, lo, hi in splits:
+        os.makedirs(os.path.join(out_root, split), exist_ok=True)
+        images, anns = [], []
+        aid = 1
+        for i in range(lo, hi):
+            img, objs = render_scene(rng, min_h=240, max_h=360,
+                                     min_w=280, max_w=420)
+            h, w = img.shape[:2]
+            name = f"{i + 1:012}.jpg"
+            for cls, x1, y1, x2, y2 in objs:
+                s = x2 - x1
+                anns.append({"id": aid, "image_id": i + 1,
+                             "category_id": COCO_SHAPE_CATS[cls],
+                             "bbox": [x1, y1, s, s], "area": s * s,
+                             "iscrowd": 0})
+                aid += 1
+            cv2.imwrite(os.path.join(out_root, split, name), img)
+            images.append({"id": i + 1, "file_name": name,
+                           "width": w, "height": h})
+        blob = {"images": images, "annotations": anns,
+                "categories": [{"id": c, "name": nm} for c, nm in
+                               zip(COCO_SHAPE_CATS, COCO_SHAPE_NAMES)]}
+        with open(os.path.join(out_root, "annotations",
+                               f"instances_{split}.json"), "w") as f:
+            json.dump(blob, f)
+        print(f"COCO shapes {split}: {hi - lo} images, {len(anns)} boxes")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("format", choices=["voc", "coco"])
+    p.add_argument("out_root")
+    p.add_argument("--n", type=int, default=None, help="total images")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--train_frac", type=float, default=None)
+    args = p.parse_args(argv)
+    kw = {k: v for k, v in (("n", args.n), ("seed", args.seed),
+                            ("train_frac", args.train_frac))
+          if v is not None}
+    (make_voc if args.format == "voc" else make_coco)(args.out_root, **kw)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--ema", action="store_true", default=False,
                    help="evaluate the EMA weights from a train checkpoint")
     p.add_argument("--tta", action="store_true", default=False)
+    p.add_argument("--dump_dets", default=None, metavar="DIR",
+                   help="write detection artifacts for error analysis: VOC → "
+                        "per-class VOCdevkit results .txt + detections.pkl "
+                        "(reference vocapi_evaluator.py:91-92,142-157); "
+                        "COCO → results json (val and test-dev)")
     return p.parse_args(argv)
 
 
@@ -90,15 +95,21 @@ def main(argv=None):
     if args.dataset == "voc":
         ev = VOCEvaluator(args.root, args.img_size,
                           batch_size=args.batch_size,
-                          num_workers=args.num_workers, display=True)
+                          num_workers=args.num_workers, display=True,
+                          dump_dir=args.dump_dets)
         ev.evaluate(predict_fn)
     else:
+        import os
+
+        dump_path = (os.path.join(args.dump_dets, "coco_results.json")
+                     if args.dump_dets else None)
         ev = COCOEvaluator(args.root, args.img_size,
                            image_set=("test2017" if args.dataset ==
                                       "coco-test" else "val2017"),
                            batch_size=args.batch_size,
                            num_workers=args.num_workers,
-                           testset=args.dataset == "coco-test")
+                           testset=args.dataset == "coco-test",
+                           dump_path=dump_path)
         ap50, ap = ev.evaluate(predict_fn)
         print(f"ap50_95 : {ap}")
         print(f"ap50 : {ap50}")

@@ -175,8 +175,14 @@ def main(argv=None):
 
     tb_writer = None
     if args.tfboard:
-        from torch.utils.tensorboard import SummaryWriter
-
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError as e:
+            raise SystemExit(
+                "--tfboard needs a TensorBoard event writer; install the "
+                "optional extra (pip install 'yolo-nano-tpu[tb]') or drop "
+                f"the flag — JSONL metrics at {log_path} are always written "
+                f"regardless. ({e})")
         tb_writer = SummaryWriter(os.path.join(save_dir, "tb"))
 
     rng = np.random.default_rng(args.seed)

@@ -83,7 +83,8 @@ class VOCEvaluator:
 
     def __init__(self, data_dir: str, img_size: int, set_type: str = "test",
                  year: str = "2007", batch_size: int = 32,
-                 num_workers: int = 4, display: bool = False):
+                 num_workers: int = 4, display: bool = False,
+                 dump_dir: str | None = None):
         self.dataset = VOCDataset(data_dir, img_size=img_size,
                                   image_sets=[(year, set_type)],
                                   augment=False, keep_difficult=True)
@@ -91,6 +92,8 @@ class VOCEvaluator:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.display = display
+        self.set_type = set_type
+        self.dump_dir = dump_dir
         self.map = 0.0
         self.aps: Dict[str, float] = {}
         self._gt_cache: Dict[str, List[dict]] = {}  # parsed once, reused
@@ -105,6 +108,9 @@ class VOCEvaluator:
             name = meta["id"][1]
             for b, s, c in zip(boxes, scores, classes):
                 per_class[int(c)].append((name, float(s), b))
+
+        if self.dump_dir:
+            self._dump_detections(per_class)
 
         # raw-XML ground truth per class (parsed on the first evaluate only —
         # the training eval hook calls this every N epochs)
@@ -135,6 +141,37 @@ class VOCEvaluator:
         print(f"Mean AP = {self.map:.4f}")
         return self.map
 
+    def _dump_detections(self, per_class: List[List]) -> None:
+        """Write the artifacts downstream error-analysis tooling consumes:
+        per-class VOCdevkit-style results .txt (1-based pixel coords, same
+        line format as reference vocapi_evaluator.py:142-157) and a
+        detections.pkl table (reference vocapi_evaluator.py:91-92)."""
+        import os
+        import pickle
+
+        results_dir = os.path.join(self.dump_dir, "results")
+        os.makedirs(results_dir, exist_ok=True)
+        all_boxes: Dict[str, Dict[str, np.ndarray]] = {}
+        for ci, cls in enumerate(VOC_CLASSES):
+            by_image: Dict[str, list] = {}
+            for name, score, b in per_class[ci]:
+                by_image.setdefault(name, []).append([*b, score])
+            all_boxes[cls] = {n: np.asarray(v, np.float32)
+                              for n, v in by_image.items()}
+            path = os.path.join(results_dir,
+                                f"det_{self.set_type}_{cls}.txt")
+            with open(path, "w") as f:
+                for img_id in self.dataset.ids:
+                    name = img_id[1]
+                    for det in all_boxes[cls].get(name, ()):
+                        # VOCdevkit expects 1-based indices
+                        f.write(f"{name} {det[4]:.3f} {det[0] + 1:.1f} "
+                                f"{det[1] + 1:.1f} {det[2] + 1:.1f} "
+                                f"{det[3] + 1:.1f}\n")
+        with open(os.path.join(self.dump_dir, "detections.pkl"), "wb") as f:
+            pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+        print(f"dumped detections to {self.dump_dir}")
+
 
 class COCOEvaluator:
     """COCO-val AP (reference evaluator/cocoapi_evaluator.py), with the
@@ -142,7 +179,8 @@ class COCOEvaluator:
 
     def __init__(self, data_dir: str, img_size: int,
                  image_set: str = "val2017", batch_size: int = 32,
-                 num_workers: int = 4, testset: bool = False):
+                 num_workers: int = 4, testset: bool = False,
+                 dump_path: str | None = None):
         from yolo_nano_tpu.data.coco import COCODataset
 
         self.dataset = COCODataset(data_dir, image_set=image_set,
@@ -151,6 +189,7 @@ class COCOEvaluator:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.testset = testset
+        self.dump_path = dump_path
         self.map = 0.0
         self.ap50_95 = 0.0
         self.ap50 = 0.0
@@ -177,10 +216,26 @@ class COCOEvaluator:
                 })
         if self.testset:
             import json
+            import os
 
-            with open("coco_test-dev.json", "w") as f:
+            path = self.dump_path or "coco_test-dev.json"
+            if os.path.dirname(path):
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
                 json.dump(data_dict, f)
             return -1.0, -1.0
+        if self.dump_path:
+            # results json for val runs too — the reference only keeps a
+            # tempfile here (cocoapi_evaluator.py:114-116), leaving nothing
+            # for error analysis / resubmission
+            import json
+            import os
+
+            if os.path.dirname(self.dump_path):
+                os.makedirs(os.path.dirname(self.dump_path), exist_ok=True)
+            with open(self.dump_path, "w") as f:
+                json.dump(data_dict, f)
+            print(f"dumped detections to {self.dump_path}")
         if not data_dict:
             return 0.0, 0.0
         gt_anns = [a for anns in self.dataset._anns.values() for a in anns]
