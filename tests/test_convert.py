@@ -1,0 +1,147 @@
+"""Round-trip test for the ImageNet-pretrained backbone converter.
+
+tools/convert_torch_shufflenetv2.py is the only path to the reference's
+published mAP numbers (the reference trains from torchvision's ImageNet
+ShuffleNetV2, backbone/shufflenetv2.py:170-182). A wrong key mapping or
+transpose there would silently burn the first real-data training run, so this
+test synthesizes a torchvision-format state_dict (exact key names + shapes,
+including the conv5/fc keys the trunk load drops), converts it, and asserts:
+
+  1. the converted pytree structurally matches a fresh init;
+  2. our backbone with converted weights reproduces the torch reference
+     model's C3/C4/C5 activations when it carries the same state_dict
+     (the same load path the reference uses, strict=False).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolo_nano_tpu.config import SHUFFLENETV2_CHANNELS, SHUFFLENETV2_REPEATS
+from tools.convert_torch_shufflenetv2 import convert
+
+REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
+
+
+def synth_torchvision_state_dict(model_size="1.0x", seed=0):
+    """Random weights in torchvision shufflenet_v2 naming/shapes/layout."""
+    rng = np.random.default_rng(seed)
+    chans = SHUFFLENETV2_CHANNELS[model_size]
+    sd = {}
+
+    def conv(key, cout, cin, k, groups=1):
+        sd[f"{key}.weight"] = rng.normal(
+            0, 0.1, (cout, cin // groups, k, k)).astype(np.float32)
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{key}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{key}.running_mean"] = rng.normal(0, 0.2, c).astype(np.float32)
+        sd[f"{key}.running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
+        sd[f"{key}.num_batches_tracked"] = np.asarray(1000, np.int64)
+
+    conv("conv1.0", chans[0], 3, 3)
+    bn("conv1.1", chans[0])
+    cin = chans[0]
+    for si, repeats in zip((2, 3, 4), SHUFFLENETV2_REPEATS):
+        cout = chans[si - 1]
+        half = cout // 2
+        for bi in range(repeats):
+            base = f"stage{si}.{bi}"
+            if bi == 0:  # stride-2: branch1 downsamples the full input
+                conv(f"{base}.branch1.0", cin, cin, 3, groups=cin)
+                bn(f"{base}.branch1.1", cin)
+                conv(f"{base}.branch1.2", half, cin, 1)
+                bn(f"{base}.branch1.3", half)
+                b2_in = cin
+            else:  # stride-1: channel split, branch2 sees half
+                b2_in = half
+            conv(f"{base}.branch2.0", half, b2_in, 1)
+            bn(f"{base}.branch2.1", half)
+            conv(f"{base}.branch2.3", half, half, 3, groups=half)
+            bn(f"{base}.branch2.4", half)
+            conv(f"{base}.branch2.5", half, half, 1)
+            bn(f"{base}.branch2.6", half)
+        cin = cout
+    # torchvision checkpoints also carry conv5 + fc; the trunk load ignores
+    # them (reference loads with strict=False) — converter must too
+    conv("conv5.0", chans[4], cin, 1)
+    bn("conv5.1", chans[4])
+    sd["fc.weight"] = rng.normal(0, 0.1, (1000, chans[4])).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("model_size", ["0.5x", "1.0x"])
+def test_convert_structure_matches_init(model_size):
+    import jax
+
+    from yolo_nano_tpu.models.shufflenetv2 import init_shufflenetv2
+
+    sd = synth_torchvision_state_dict(model_size)
+    params, stats = convert(sd, model_size)
+    ref_p, ref_s = init_shufflenetv2(jax.random.key(0), model_size)
+    assert jax.tree.map(lambda x: np.asarray(x).shape, params) == \
+        jax.tree.map(lambda x: np.asarray(x).shape, ref_p)
+    assert jax.tree.map(lambda x: np.asarray(x).shape, stats) == \
+        jax.tree.map(lambda x: np.asarray(x).shape, ref_s)
+
+
+def test_convert_rejects_wrong_variant():
+    # stems are 24ch for every variant — the stage widths must be checked
+    sd = synth_torchvision_state_dict("1.0x")
+    with pytest.raises(ValueError, match="not a 2.0x checkpoint"):
+        convert(sd, "2.0x")
+    with pytest.raises(ValueError, match="not a 0.5x checkpoint"):
+        convert(sd, "0.5x")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference repo not on disk")
+def test_converted_weights_reproduce_reference_activations():
+    """The decisive check: torch model carrying the synthesized checkpoint
+    (loaded exactly as the reference does) vs our backbone carrying the
+    converted pytree → identical stage-2/3/4 feature maps."""
+    import sys
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.models.shufflenetv2 import shufflenetv2_apply
+
+    sd = synth_torchvision_state_dict("1.0x", seed=3)
+    params, stats = convert(sd, "1.0x")
+
+    sys.path.insert(0, REFERENCE)
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        from backbone.shufflenetv2 import ShuffleNetV2
+
+        ref = ShuffleNetV2(model_size="1.0x")
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(REFERENCE)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=False)
+    # the reference trunk has no conv5/fc — those keys are dropped, nothing
+    # else may be missing (num_batches_tracked buffers exist on both sides)
+    assert not [m for m in missing if "num_batches_tracked" not in m]
+    assert all(u.startswith(("conv5", "fc")) for u in unexpected)
+    ref.eval()
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    (c3, c4, c5), _ = shufflenetv2_apply(params, stats, jnp.asarray(x),
+                                         train=False)
+    with torch.no_grad():
+        t3, t4, t5 = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for name, ours, theirs in (("C3", c3, t3), ("C4", c4, t4),
+                               ("C5", c5, t5)):
+        theirs = theirs.numpy().transpose(0, 2, 3, 1)  # NCHW → NHWC
+        diff = np.abs(np.asarray(ours) - theirs).max()
+        scale = np.abs(theirs).max()
+        assert diff / scale < 1e-5, f"{name}: max|Δ|={diff:.3e}"

@@ -31,6 +31,15 @@ def convert(state_dict, model_size: str = "1.0x"):
     if got_stem != expect_stem:
         raise ValueError(f"checkpoint stem has {got_stem} channels; "
                          f"--size {model_size} expects {expect_stem}")
+    # the stem is 24ch for every variant — the stage widths are what
+    # actually distinguish 0.5x/1.0x/1.5x/2.0x checkpoints
+    for si in (2, 3, 4):
+        expect = SHUFFLENETV2_CHANNELS[model_size][si - 1] // 2
+        got = np.asarray(state_dict[f"stage{si}.0.branch2.0.weight"]).shape[0]
+        if got != expect:
+            raise ValueError(
+                f"checkpoint stage{si} branch width {got} != {expect}; "
+                f"this is not a {model_size} checkpoint")
 
     def w(key):  # OIHW → HWIO
         return np.ascontiguousarray(
