@@ -3,20 +3,22 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolo_nano_tpu.cli.common import make_predict_fn
 from yolo_nano_tpu.config import YoloNanoConfig
 from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
-from yolo_nano_tpu.parallel.mesh import make_mesh
+from yolo_nano_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
 
-def test_sharded_predict_matches_single_device():
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_sharded_predict_matches_single_device(mesh_kind):
     cfg = YoloNanoConfig(num_classes=20, nms_pre_topk=64, max_detections=8)
     params, stats = init_yolo_nano(jax.random.key(0), cfg)
     images = np.asarray(jax.random.uniform(jax.random.key(1),
                                            (8, 64, 64, 3)), np.float32)
     single = make_predict_fn(params, stats, cfg, 64, dtype="float32")
-    mesh = make_mesh(8)
+    mesh = make_mesh(8) if mesh_kind == "1d" else make_mesh_2d(2, 4)
     sharded = make_predict_fn(params, stats, cfg, 64, dtype="float32",
                               mesh=mesh)
     a = [np.asarray(t) for t in single(images)]

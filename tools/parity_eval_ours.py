@@ -1,0 +1,48 @@
+"""Evaluate one of OUR checkpoints with the same protocol/report format as
+tools/parity_train_reference.py — the other half of the head-to-head table.
+
+    python tools/parity_eval_ours.py --root /tmp/shapes_voc \
+        --weight /tmp/parity_ours_s0/voc/yolo_nano/ckpt --img_size 160
+Prints one JSON line: per-class APs over classes present in the ground truth
+and their mean.
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--weight", required=True)
+    p.add_argument("--img_size", type=int, default=160)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--ema", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=-1, help="label only")
+    args = p.parse_args(argv)
+
+    from yolo_nano_tpu.cli.common import build_config, make_predict_fn
+    from yolo_nano_tpu.cli.eval import load_weights
+    from yolo_nano_tpu.evaluation.evaluator import VOCEvaluator
+
+    cfg = build_config("voc")
+    params, stats = load_weights(args.weight, cfg, args.ema)
+    predict = make_predict_fn(params, stats, cfg, args.img_size)
+
+    ev = VOCEvaluator(args.root, args.img_size, batch_size=args.batch_size,
+                      num_workers=2)
+    ev.evaluate(predict)
+    gt_classes = {o["name"] for recs in ev._gt_cache.values() for o in recs}
+    result = {"framework": "yolo_nano_tpu", "seed": args.seed,
+              "img_size": args.img_size,
+              "aps": {c: round(ev.aps[c], 4) for c in sorted(gt_classes)},
+              "present_class_mAP": round(float(np.mean(
+                  [ev.aps[c] for c in gt_classes])), 4)}
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -99,7 +99,9 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
 
     from yolo_nano_tpu.models.yolo_nano import predict
 
-    data = NamedSharding(mesh, P("data"))
+    # batch sharded over ALL mesh axes — works for 1-D ("data",) and 2-D
+    # multi-slice ("dcn","data") meshes alike
+    data = NamedSharding(mesh, P(mesh.axis_names))
 
     def core(images):
         x = jnp.asarray(images)

@@ -31,7 +31,27 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+def make_mesh_2d(n_dcn: int, n_data: int,
+                 axes=("dcn", "data")) -> Mesh:
+    """2-D mesh for multi-slice deployments: the leading ("dcn") axis maps
+    across slices (data-center network), the trailing ("data") axis across
+    chips within a slice (ICI). Batches shard over BOTH axes; the gradient
+    all-reduce GSPMD inserts then decomposes into an ICI reduce-scatter +
+    a (much smaller) DCN all-reduce — the standard multi-slice DP layout."""
+    devices = jax.devices()
+    need = n_dcn * n_data
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_dcn, n_data)
+    return Mesh(grid, axes)
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Batch (axis 0) sharded over the given mesh axis — default: ALL mesh
+    axes jointly, which is correct for both 1-D ("data",) and 2-D
+    ("dcn","data") data-parallel meshes."""
+    if axis is None:
+        axis = mesh.axis_names
     return NamedSharding(mesh, P(axis))
 
 
@@ -39,7 +59,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+def shard_batch(mesh: Mesh, *arrays, axis=None):
     """Place host arrays onto the mesh, batch-sharded on axis 0. Batch must be
     divisible by the mesh size (pad upstream — fixed shapes are the contract)."""
     sh = batch_sharding(mesh, axis)

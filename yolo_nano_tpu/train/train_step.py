@@ -96,8 +96,10 @@ def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        repl = NamedSharding(mesh, P())        # state: fully replicated
-        data = NamedSharding(mesh, P("data"))  # batch: sharded over the mesh
+        repl = NamedSharding(mesh, P())  # state: fully replicated
+        # batch: sharded over ALL mesh axes — ("data",) on one slice,
+        # ("dcn","data") across slices
+        data = NamedSharding(mesh, P(mesh.axis_names))
         kwargs = dict(
             in_shardings=(repl, data, data, data),
             out_shardings=(repl, repl),
