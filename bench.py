@@ -1,50 +1,102 @@
 """Benchmark of record: batched COCO-config inference throughput on one chip.
 
 Mirrors the reference's own latency protocol (reference benchmark.py:40-82:
-sync-bracketed wall clock around model+postprocess, warmup excluded) but
-batched and fully on-device: YOLO-Nano-1.0x, 80 classes, 416px, conv-BN folded
-(reference benchmark.py:140-141), bf16 activations, decode + per-class NMS
-included in the timed region. Baseline target: ≥5,000 images/sec/chip
-(BASELINE.md).
+sync-bracketed wall clock around model+postprocess, warmup excluded, conf 0.1
+/ nms 0.45 per benchmark.py:126-127) but batched and fully on-device:
+YOLO-Nano-1.0x, 80 classes, 416px, conv-BN folded, bf16 activations,
+decode + per-class NMS included in the timed region.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"p50_decode_nms_ms_batch<B>"} — the last field is the secondary metric of
-record (p50 on-device decode+NMS latency per batch, including dispatch).
+Round-2 upgrades over the round-1 protocol (VERDICT Weak #1):
+  * weights are a TRAINED checkpoint (assets/bench_coco416, 160 epochs on the
+    synthetic-COCO shapes set at 416; random-init fallback is labeled);
+  * inputs are rendered detection scenes letterboxed through the real val
+    transform, so the confidence filter passes a realistic candidate load
+    into NMS (reported as mean_candidates_per_img — with random weights and
+    the −log(99) bias prior this is ~0 and NMS does no work);
+  * the decode+NMS stage is reported two ways: per-dispatch p50 (one host
+    fetch per call — includes the remote-tunnel round trip) and amortized
+    (30 back-to-back dispatches, one fetch — the sustained cost that the
+    throughput number actually contains).
+
+Prints ONE JSON line. Baseline target: ≥5,000 images/sec/chip (BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "assets", "bench_coco416")
+SIZE = 416
+BATCH = 128  # sweep-measured optimum on v5e (32→3.7k, 64→4.5k, 128→7.3k,
+#              256→6.1k img/s); one chip, decode+NMS included
+
+
+def load_model(cfg_overrides):
+    """(params bf16-folded, stats, cfg, 'trained'|'random')."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_nano_tpu.config import MULTI_ANCHOR_SIZE_COCO, YoloNanoConfig
+    from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
+    from yolo_nano_tpu.utils.checkpoint import load_params
+    from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
+
+    if os.path.isdir(ARTIFACT):
+        with open(os.path.join(ARTIFACT, "config.json")) as f:
+            meta = json.load(f)
+        raw = dict(meta["config"])
+        raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
+        raw["strides"] = tuple(raw["strides"])
+        raw.update(cfg_overrides)
+        cfg = YoloNanoConfig(**raw)
+        p0, s0 = init_yolo_nano(jax.random.key(0), cfg)
+        template = fold_bn(p0, s0)
+        folded = load_params(os.path.join(ARTIFACT, "params"), template)
+        kind = "trained"
+    else:
+        cfg = YoloNanoConfig(num_classes=80, backbone="1.0x",
+                             anchors=MULTI_ANCHOR_SIZE_COCO, **cfg_overrides)
+        params, stats = init_yolo_nano(jax.random.key(0), cfg)
+        folded = fold_bn(params, stats)
+        kind = "random"
+    folded = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
+    return folded, empty_stats_like(folded), cfg, kind
+
+
+def render_inputs(batch, size, seed=0):
+    """Rendered detection scenes → letterboxed, normalized [B,S,S,3] f32."""
+    from tools.make_synthetic_data import render_scene
+    from yolo_nano_tpu.data.transforms import val_transform
+
+    rng = np.random.default_rng(seed)
+    out = np.zeros((batch, size, size, 3), np.float32)
+    for i in range(batch):
+        img, _ = render_scene(rng, min_h=240, max_h=360, min_w=280,
+                              max_w=420)
+        out[i], _, _ = val_transform(img, size)
+    return out
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from yolo_nano_tpu.config import MULTI_ANCHOR_SIZE_COCO, YoloNanoConfig
-    from yolo_nano_tpu.models.yolo_nano import init_yolo_nano, predict
-    from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
+    from yolo_nano_tpu.models.yolo_nano import forward_features, predict
+    from yolo_nano_tpu.ops.decode import decode_boxes, make_grids
+    from yolo_nano_tpu.ops.nms import batched_nms_scored
 
-    size = 416
-    batch = 128  # sweep-measured optimum on v5e (32→3.7k, 64→4.5k, 128→7.3k,
-    #              256→6.1k img/s); one chip, decode+NMS included
-    cfg = YoloNanoConfig(num_classes=80, backbone="1.0x",
-                         anchors=MULTI_ANCHOR_SIZE_COCO,
-                         conf_thresh=0.1, nms_thresh=0.45,  # benchmark.py:126-127
-                         compute_dtype="bfloat16")
-    params, stats = init_yolo_nano(jax.random.key(0), cfg)
-    folded = fold_bn(params, stats)
-    folded = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
-    fstats = empty_stats_like(folded)
+    # reference benchmark protocol thresholds (benchmark.py:126-127)
+    folded, fstats, cfg, kind = load_model(
+        dict(conf_thresh=0.1, nms_thresh=0.45, compute_dtype="bfloat16"))
 
     @jax.jit
     def step(p, images):
-        return predict(p, fstats, images, cfg, size)
+        return predict(p, fstats, images, cfg, SIZE)
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(-2, 2, (batch, size, size, 3)),
-                         jnp.bfloat16)
+    images = jnp.asarray(render_inputs(BATCH, SIZE), jnp.bfloat16)
 
     # warmup / compile (reference skips first iterations too, benchmark.py:78)
     out = step(folded, images)
@@ -61,25 +113,30 @@ def main():
             out = step(folded, images)
         np.asarray(out[1])
         best = min(best, time.perf_counter() - t0)
+    ips = BATCH * iters / best
 
-    ips = batch * iters / best
+    # ---- decode+NMS stage in isolation, driven by the model's own REAL
+    # score/box tensors on these inputs (not synthetic hot-score injections)
+    grids = make_grids(cfg, SIZE)
 
-    # secondary metric of record (BASELINE.md): p50 on-device decode+NMS
-    # latency at the same batch. Inputs are synthesized to a trained-model-like
-    # distribution — NMS sweep count is data-dependent, so the distribution
-    # matters: ~60 above-threshold detections per image clustered around a few
-    # dozen object centers (overlapping duplicates exercise suppression), the
-    # rest of the anchors below conf_thresh.
-    from yolo_nano_tpu.ops.decode import decode_boxes, make_grids
-    from yolo_nano_tpu.ops.nms import batched_nms_scored
+    @jax.jit
+    def features(p, x):
+        conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
+            p, fstats, x, cfg, train=False)
+        obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))[..., 0]
+        logits = cls_pred.astype(jnp.float32)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+        score = jnp.exp(m - lse) * obj
+        return (txtytwth_pred.astype(jnp.float32), score,
+                jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
-    grids = make_grids(cfg, size)
-    n = cfg.num_predictions(size)
-    a = cfg.num_anchors_per_level
+    txty, score, cls_idx = features(folded, images)
+    mean_cands = float(jnp.mean(jnp.sum(score > cfg.conf_thresh, axis=1)))
 
     @jax.jit
     def postprocess(txty, score, cls_idx):
-        bx = jnp.clip(decode_boxes(txty, grids) / size, 0.0, 1.0)
+        bx = jnp.clip(decode_boxes(txty, grids) / SIZE, 0.0, 1.0)
         return batched_nms_scored(bx, score, cls_idx,
                                   conf_thresh=cfg.conf_thresh,
                                   iou_thresh=cfg.nms_thresh,
@@ -87,31 +144,31 @@ def main():
                                   max_det=cfg.max_detections,
                                   diou=cfg.diou_nms)
 
-    txty = jnp.asarray(rng.normal(0, 0.5, (batch, cfg.num_cells(size), a, 4)),
-                       jnp.float32)
-    # background scores well below conf_thresh; ~60 detections per image above
-    score_np = rng.uniform(0, cfg.conf_thresh * 0.5, (batch, n)).astype(
-        np.float32)
-    for bi in range(batch):
-        hot = rng.choice(n, 60, replace=False)
-        score_np[bi, hot] = rng.uniform(cfg.conf_thresh, 1.0, 60)
-    score = jnp.asarray(score_np)
-    cls_idx = jnp.asarray(rng.integers(0, cfg.num_classes, (batch, n)),
-                          jnp.int32)
-    np.asarray(postprocess(txty, score, cls_idx)[1])
+    np.asarray(postprocess(txty, score, cls_idx)[1])  # compile
+    # per-dispatch p50: one host fetch per call → includes tunnel round trip
     lats = []
     for _ in range(9):
         t0 = time.perf_counter()
         np.asarray(postprocess(txty, score, cls_idx)[1])
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats)) * 1e3
+    # amortized: back-to-back dispatches, one fetch — the sustained stage
+    # cost actually contained in the throughput number above
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pp = postprocess(txty, score, cls_idx)
+    np.asarray(pp[1])
+    amort_ms = (time.perf_counter() - t0) / iters * 1e3
 
     print(json.dumps({
         "metric": "coco_eval_images_per_sec_per_chip_416",
         "value": round(ips, 1),
         "unit": "img/s",
         "vs_baseline": round(ips / 5000.0, 3),
-        f"p50_decode_nms_ms_batch{batch}": round(p50_ms, 2),
+        "weights": kind,
+        "mean_candidates_per_img": round(mean_cands, 1),
+        f"p50_decode_nms_ms_batch{BATCH}": round(p50_ms, 2),
+        f"decode_nms_ms_amortized_batch{BATCH}": round(amort_ms, 2),
     }))
 
 

@@ -177,6 +177,70 @@ def test_loader_fixed_shapes_and_determinism(tmp_path):
     assert (batches_a[0][2] == -1).any()
 
 
+def _tiny_voc(tmp_path, n=5):
+    import cv2
+
+    from yolo_nano_tpu.data.voc import VOCDataset
+
+    d = tmp_path / "VOC2007"
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (d / sub).mkdir(parents=True)
+    names = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        name = f"p{i}"
+        names.append(name)
+        img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), img)
+        (d / "Annotations" / f"{name}.xml").write_text(
+            "<annotation><object><name>dog</name><difficult>0</difficult>"
+            "<bndbox><xmin>12</xmin><ymin>14</ymin><xmax>88</xmax>"
+            "<ymax>78</ymax></bndbox></object></annotation>")
+    (d / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
+    return VOCDataset(str(tmp_path), img_size=64,
+                      image_sets=[("2007", "trainval")])
+
+
+def test_loader_process_mode_matches_thread_mode(tmp_path):
+    """Both worker pools draw identical per-item RNG streams, so the
+    augmented batch sequence must be byte-identical."""
+    from yolo_nano_tpu.data.loader import DetectionLoader
+
+    ds = _tiny_voc(tmp_path)
+    thread = DetectionLoader(ds, batch_size=2, max_boxes=8, num_workers=2,
+                             seed=7, worker_mode="thread")
+    proc = DetectionLoader(ds, batch_size=2, max_boxes=8, num_workers=2,
+                           seed=7, worker_mode="process")
+    try:
+        for (ia, ba, la), (ib, bb, lb) in zip(thread, proc):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ba, bb)
+            np.testing.assert_array_equal(la, lb)
+    finally:
+        proc.close()
+
+
+def test_image_cache_returns_equal_batches(tmp_path):
+    from yolo_nano_tpu.data.loader import DetectionLoader
+
+    ds_plain = _tiny_voc(tmp_path)
+    ds_cached = _tiny_voc(tmp_path / "c")
+    ds_cached.enable_image_cache()
+    a = [(i.copy(), b.copy(), l.copy()) for i, b, l in DetectionLoader(
+        ds_plain, batch_size=2, max_boxes=8, num_workers=2, seed=3)]
+    # two epochs through the cached dataset: second epoch reads cache hits
+    mk = DetectionLoader(ds_cached, batch_size=2, max_boxes=8,
+                         num_workers=2, seed=3)
+    _ = list(mk)
+    mk._epoch = 0  # rewind to epoch 1's RNG stream
+    b = [(i.copy(), b_.copy(), l.copy()) for i, b_, l in mk]
+    # drop_last leaves one image unvisited per epoch (5 imgs, batch 2)
+    assert len(ds_cached._img_cache) >= len(ds_cached) - 1
+    for (ia, ba, la), (ib, bb, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ba, bb)
+
+
 def test_loader_surfaces_worker_exceptions(tmp_path):
     """Regression: a worker exception used to kill the producer thread
     without the sentinel, hanging the consumer forever."""

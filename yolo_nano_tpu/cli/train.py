@@ -37,6 +37,14 @@ def parse_args(argv=None):
                    help="checkpoint dir to resume full train state from, or "
                         "'auto' to pick up this run's latest checkpoint")
     p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--worker_mode", default="thread",
+                   choices=["thread", "process"],
+                   help="augmentation worker pool type (process wins when "
+                        "GIL-bound python dominates, e.g. crowded-image "
+                        "SSD-crop retries on many-core hosts)")
+    p.add_argument("--cache_images", action="store_true", default=False,
+                   help="memoize decoded images in RAM (skips JPEG decode "
+                        "after the first epoch; budget ~H*W*3 bytes/image)")
     p.add_argument("--eval_epoch", type=int, default=10)
     p.add_argument("--save_folder", default="weights/", type=str)
     p.add_argument("-v", "--version", default="yolo_nano")
@@ -118,9 +126,12 @@ def main(argv=None):
     # mosaic merges 4 images' ground truth — scale the padding budget so
     # crowded mosaics don't silently truncate boxes
     max_boxes = args.max_boxes * (4 if args.mosaic else 1)
+    if args.cache_images:
+        dataset.enable_image_cache()
     loader = DetectionLoader(dataset, args.batch_size,
                              max_boxes=max_boxes,
-                             num_workers=args.num_workers, seed=args.seed)
+                             num_workers=args.num_workers, seed=args.seed,
+                             worker_mode=args.worker_mode)
     epoch_size = len(loader)
 
     params, stats = init_yolo_nano(jax.random.key(args.seed), cfg)

@@ -21,20 +21,39 @@ from yolo_nano_tpu.data.transforms import (
 
 class DetectionDatasetBase:
     """Subclasses set: img_size, mosaic, augment, ids; implement
-    load_img_targets(index) → (img_bgr, target [M,5] normalized, h, w)."""
+    load_img_targets(index) → (img_bgr, target [M,5] normalized, h, w).
+
+    `enable_image_cache()` memoizes the raw decoded images + targets in
+    memory: JPEG decode dominates the host load cost, and eval/training on
+    datasets that fit in RAM pays it once. Cache hits return copies (the
+    augmentation chain mutates pixel buffers). Budget ≈ H·W·3 bytes/image."""
 
     img_size: int
     mosaic: bool
     augment: bool
+    _img_cache = None  # index → (img, target, h, w)
 
     def __len__(self) -> int:
         return len(self.ids)
 
+    def enable_image_cache(self) -> None:
+        self._img_cache = {}
+
     def load_img_targets(self, index: int):
         raise NotImplementedError
 
+    def _load(self, index: int):
+        if self._img_cache is None:
+            return self.load_img_targets(index)
+        hit = self._img_cache.get(index)
+        if hit is None:
+            hit = self.load_img_targets(index)
+            self._img_cache[index] = hit
+        img, target, h, w = hit
+        return img.copy(), target.copy(), h, w
+
     def _load_for_mosaic(self, index: int):
-        img, target, _, _ = self.load_img_targets(index)
+        img, target, _, _ = self._load(index)
         return img, target
 
     def pull_item(self, index: int,
@@ -51,7 +70,7 @@ class DetectionDatasetBase:
             h = w = self.img_size
             tf = color_transform
         else:
-            img, target, h, w = self.load_img_targets(index)
+            img, target, h, w = self._load(index)
             tf = train_transform if self.augment else val_transform_with_boxes
         if len(target) == 0:
             target = np.zeros((1, 5), np.float32)  # reference voc.py:226-227

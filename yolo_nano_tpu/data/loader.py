@@ -26,6 +26,27 @@ import numpy as np
 
 MAX_BOXES_DEFAULT = 64
 
+# --- process-pool worker side (top-level: must pickle under spawn) ---------
+_PP_DATASET = None
+
+
+def _pp_init(dataset):
+    global _PP_DATASET
+    _PP_DATASET = dataset
+    try:  # keep workers single-threaded: parallelism comes from the pool
+        import cv2
+
+        cv2.setNumThreads(0)
+    except ImportError:
+        pass
+
+
+def _pp_load(args):
+    index, seed_key = args
+    rng = np.random.default_rng(seed_key)
+    img, target, *_ = _PP_DATASET.pull_item(index, rng)
+    return img, target
+
 
 def pad_targets(targets: List[np.ndarray], max_boxes: int
                 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -50,7 +71,13 @@ class DetectionLoader:
     def __init__(self, dataset, batch_size: int, max_boxes: int =
                  MAX_BOXES_DEFAULT, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0,
-                 drop_last: bool = True, prefetch: int = 2):
+                 drop_last: bool = True, prefetch: int = 2,
+                 worker_mode: str = "thread"):
+        """worker_mode: "thread" (default — cv2/numpy release the GIL) or
+        "process" (spawned worker pool; wins when augmentation is dominated
+        by GIL-holding python, e.g. the SSD-crop retry loop on crowded
+        images, and on many-core hosts). Both modes draw identical per-item
+        RNG streams, so the augmented sample sequence is byte-identical."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
@@ -59,7 +86,32 @@ class DetectionLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"unknown worker_mode {worker_mode!r}")
+        self.worker_mode = worker_mode
         self._epoch = 0
+        self._proc_pool = None
+
+    def _process_pool(self):
+        """Lazy persistent process pool (the dataset ships once, at init)."""
+        if self._proc_pool is None:
+            import multiprocessing as mp
+
+            self._proc_pool = cf.ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("spawn"),
+                initializer=_pp_init, initargs=(self.dataset,))
+        return self._proc_pool
+
+    def close(self) -> None:
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -76,13 +128,23 @@ class DetectionLoader:
         order = self._epoch_order()
         self._epoch += 1
         nb = len(self)
-        root = np.random.SeedSequence([self.seed, self._epoch])
-        item_seeds = root.spawn(len(order))
+        epoch = self._epoch
+
+        def seed_key(pos: int):
+            # identical per-item RNG streams in thread and process modes
+            return [self.seed, epoch, pos]
 
         def load_one(pos: int):
-            rng = np.random.default_rng(item_seeds[pos])
+            rng = np.random.default_rng(seed_key(pos))
             img, target, *_ = self.dataset.pull_item(int(order[pos]), rng)
             return img, target
+
+        def map_batch(pool, lo: int, hi: int):
+            if self.worker_mode == "process":
+                return list(pool.map(
+                    _pp_load, [(int(order[p]), seed_key(p))
+                               for p in range(lo, hi)]))
+            return list(pool.map(load_one, range(lo, hi)))
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -101,13 +163,19 @@ class DetectionLoader:
 
         def producer():
             try:
-                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                import contextlib
+
+                if self.worker_mode == "process":
+                    pool_cm = contextlib.nullcontext(self._process_pool())
+                else:
+                    pool_cm = cf.ThreadPoolExecutor(self.num_workers)
+                with pool_cm as pool:
                     for bi in range(nb):
                         if stop.is_set():
                             return
                         lo = bi * self.batch_size
                         hi = min(lo + self.batch_size, len(order))
-                        items = list(pool.map(load_one, range(lo, hi)))
+                        items = map_batch(pool, lo, hi)
                         images = np.stack([it[0] for it in items])
                         boxes, labels = pad_targets([it[1] for it in items],
                                                     self.max_boxes)
