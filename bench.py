@@ -80,7 +80,19 @@ def render_inputs(batch, size, seed=0):
     return out
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pre_topk", type=int, default=None,
+                    help="override NMS candidate budget (default: config)")
+    ap.add_argument("--max_det", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args(argv)
+    global BATCH
+    if args.batch:
+        BATCH = args.batch
+
     import jax
     import jax.numpy as jnp
 
@@ -89,8 +101,13 @@ def main():
     from yolo_nano_tpu.ops.nms import batched_nms_scored
 
     # reference benchmark protocol thresholds (benchmark.py:126-127)
-    folded, fstats, cfg, kind = load_model(
-        dict(conf_thresh=0.1, nms_thresh=0.45, compute_dtype="bfloat16"))
+    overrides = dict(conf_thresh=0.1, nms_thresh=0.45,
+                     compute_dtype="bfloat16")
+    if args.pre_topk:
+        overrides["nms_pre_topk"] = args.pre_topk
+    if args.max_det:
+        overrides["max_detections"] = args.max_det
+    folded, fstats, cfg, kind = load_model(overrides)
 
     @jax.jit
     def step(p, images):
@@ -160,15 +177,37 @@ def main():
     np.asarray(pp[1])
     amort_ms = (time.perf_counter() - t0) / iters * 1e3
 
+    # worst-case NMS load: 60 above-threshold candidates/img clustered as
+    # overlapping duplicates (busy real-COCO images at these thresholds) —
+    # same compiled graph, heavier suppression fixpoint. Bounds the
+    # throughput impact of NMS load beyond what the rendered scenes produce.
+    rng = np.random.default_rng(1)
+    n = score.shape[1]
+    hot_np = rng.uniform(0, cfg.conf_thresh * 0.5,
+                         (BATCH, n)).astype(np.float32)
+    for bi in range(BATCH):
+        hot = rng.choice(n, 60, replace=False)
+        hot_np[bi, hot] = rng.uniform(cfg.conf_thresh, 1.0, 60)
+    hot_score = jnp.asarray(hot_np)
+    np.asarray(postprocess(txty, hot_score, cls_idx)[1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pp = postprocess(txty, hot_score, cls_idx)
+    np.asarray(pp[1])
+    amort_hot_ms = (time.perf_counter() - t0) / iters * 1e3
+
     print(json.dumps({
         "metric": "coco_eval_images_per_sec_per_chip_416",
         "value": round(ips, 1),
         "unit": "img/s",
         "vs_baseline": round(ips / 5000.0, 3),
         "weights": kind,
+        "batch": BATCH,
+        "pre_topk": cfg.nms_pre_topk,
         "mean_candidates_per_img": round(mean_cands, 1),
         f"p50_decode_nms_ms_batch{BATCH}": round(p50_ms, 2),
         f"decode_nms_ms_amortized_batch{BATCH}": round(amort_ms, 2),
+        f"decode_nms_ms_amortized_hot60_batch{BATCH}": round(amort_hot_ms, 2),
     }))
 
 

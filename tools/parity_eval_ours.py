@@ -21,6 +21,13 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--ema", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=-1, help="label only")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="f32 default: the torch reference side runs f32")
+    p.add_argument("--pre_topk", type=int, default=0,
+                   help="NMS candidate budget; 0 → unbounded like the "
+                        "reference (models/yolo_nano.py:258)")
+    p.add_argument("--max_det", type=int, default=128)
     args = p.parse_args(argv)
 
     from yolo_nano_tpu.cli.common import build_config, make_predict_fn
@@ -28,8 +35,12 @@ def main(argv=None):
     from yolo_nano_tpu.evaluation.evaluator import VOCEvaluator
 
     cfg = build_config("voc")
+    pre_topk = args.pre_topk or cfg.num_predictions(args.img_size)
+    cfg = build_config("voc", nms_pre_topk=pre_topk,
+                       max_detections=args.max_det)
     params, stats = load_weights(args.weight, cfg, args.ema)
-    predict = make_predict_fn(params, stats, cfg, args.img_size)
+    predict = make_predict_fn(params, stats, cfg, args.img_size,
+                              dtype=args.dtype)
 
     ev = VOCEvaluator(args.root, args.img_size, batch_size=args.batch_size,
                       num_workers=2)

@@ -28,8 +28,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--conf_thresh", type=float, default=0.001)
     p.add_argument("--pre_topk", nargs="+", type=int,
-                   default=[256, 512, 1024, 2048, 0],
-                   help="0 → unbounded (all N predictions)")
+                   default=[256, 512, 1024, 2048],
+                   help="0 → all N predictions: note the [B,K,K] suppression "
+                        "matrix makes true-unbounded infeasible at batch "
+                        "(58 GB at N=10647, B=128) — a budget ≥ the max "
+                        "candidate count (reported first) IS unbounded")
     p.add_argument("--max_det", nargs="+", type=int, default=[100, 128, 300])
     args = p.parse_args(argv)
 
