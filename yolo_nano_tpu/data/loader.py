@@ -96,7 +96,18 @@ class DetectionLoader:
         """Lazy persistent process pool (the dataset ships once, at init)."""
         if self._proc_pool is None:
             import multiprocessing as mp
+            import os
+            import __main__
 
+            # spawn re-imports __main__ in each worker: fail with a real
+            # message instead of a cryptic BrokenProcessPool when the parent
+            # is a REPL/heredoc (same constraint as torch's DataLoader)
+            main_file = getattr(__main__, "__file__", None)
+            if main_file is not None and not os.path.exists(main_file):
+                raise RuntimeError(
+                    "worker_mode='process' needs an importable __main__ "
+                    f"(got {main_file!r}); run from a .py file / python -m, "
+                    "or use worker_mode='thread'")
             self._proc_pool = cf.ProcessPoolExecutor(
                 self.num_workers, mp_context=mp.get_context("spawn"),
                 initializer=_pp_init, initargs=(self.dataset,))
