@@ -162,3 +162,4 @@ def test_loss_forward_finite_and_differentiable():
     gnorm = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grad))
     assert np.isfinite(gnorm) and gnorm > 0
+

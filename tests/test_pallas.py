@@ -45,3 +45,28 @@ def test_fused_dw_pw_bfloat16_io():
                                  pw_b)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(want),
                                rtol=6e-2, atol=6e-2)
+
+
+def test_fused_stage_matches_backbone_oracle():
+    """Whole-stage kernel (stride-2 + stride-1 ShuffleV2 blocks, shuffle
+    folded into selector matmuls) vs the XLA folded backbone path."""
+    from yolo_nano_tpu.models.shufflenetv2 import (_block_apply,
+                                                   init_shufflenetv2)
+    from yolo_nano_tpu.ops.pallas.fused_stage import (fused_stage,
+                                                      prepare_stage)
+    from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
+
+    params, stats = init_shufflenetv2(jax.random.key(0), "1.0x")
+    folded = fold_bn(params, stats)
+    fstats = empty_stats_like(folded)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 24)).astype(np.float32))
+    for name in ("stage2", "stage3"):
+        want = x
+        for bp, bs in zip(folded[name], fstats[name]):
+            want, _ = _block_apply(want, bp, bs, False)
+        got = fused_stage(x, prepare_stage(folded[name]), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+        x = want  # chain into the next stage
+

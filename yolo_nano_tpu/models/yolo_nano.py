@@ -182,7 +182,9 @@ def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
         decode_boxes(txtytwth_pred.astype(jnp.float32), grids) / input_size,
         0.0, 1.0)                                                 # :366
     # score = max_c softmax(cls)·obj = exp(max − logsumexp)·obj — computed
-    # without materializing the [B, N, C] softmax (same :367 semantics)
+    # without materializing the [B, N, C] softmax (same :367 semantics).
+    # (A per-level pre-concat reduction variant measured SLOWER — 17.9 vs
+    # 17.4 ms/batch-128 on v5e — XLA already fuses this concat+reduce well.)
     logits = cls_pred.astype(jnp.float32)
     m = jnp.max(logits, axis=-1)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
