@@ -45,3 +45,36 @@ def test_export_and_load_predictor_round_trip(trained_ckpt, tmp_path):
     b = [np.asarray(t) for t in direct(x)]
     for ga, gb in zip(a, b):
         np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
+
+
+def test_stablehlo_graph_path(trained_ckpt, tmp_path):
+    """The serialized jax.export graph replays identically to the parameter
+    path, accepts any batch size (symbolic dim), and can be opted out."""
+    import os
+
+    import jax
+
+    from yolo_nano_tpu.cli.export import main as export_main
+    from yolo_nano_tpu.serving import load_predictor
+
+    out = str(tmp_path / "artifact")
+    export_main(["--weight", trained_ckpt, "--out", out, "-d", "voc",
+                 "--img_size", "64", "--ema", "--dtype", "float32"])
+    assert os.path.exists(os.path.join(out, "predict.stablehlo"))
+
+    p_hlo = load_predictor(out)
+    p_par = load_predictor(out, prefer_params=True)
+    for batch in (1, 3):
+        x = np.asarray(jax.random.uniform(jax.random.key(batch),
+                                          (batch, 64, 64, 3)), np.float32)
+        a = [np.asarray(t) for t in p_hlo(x)]
+        b = [np.asarray(t) for t in p_par(x)]
+        for ga, gb in zip(a, b):
+            np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
+
+    out2 = str(tmp_path / "artifact2")
+    export_main(["--weight", trained_ckpt, "--out", out2, "-d", "voc",
+                 "--img_size", "64", "--ema", "--dtype", "float32",
+                 "--no_stablehlo"])
+    assert not os.path.exists(os.path.join(out2, "predict.stablehlo"))
+    assert load_predictor(out2) is not None

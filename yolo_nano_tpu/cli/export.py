@@ -11,7 +11,13 @@ folded parameters plus the full config, loadable with one call:
     from yolo_nano_tpu.serving import load_predictor
     predict = load_predictor("serving/yolo_nano_voc")
     boxes, scores, classes, valid = predict(images)   # [B,416,416,3] RGB norm.
-"""
+
+By default the artifact also contains `predict.stablehlo`: the whole serving
+graph (forward + decode + NMS, weights baked in) serialized with `jax.export`
+— symbolic batch dimension, lowered for both cpu and tpu. That file is the
+version-stable deployment format: it replays through any future JAX/XLA
+runtime without this package's model code (`load_predictor` prefers it; pass
+`prefer_params=True` or a mesh for the parameter path)."""
 
 from __future__ import annotations
 
@@ -33,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--ema", action="store_true", default=False)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--no_stablehlo", action="store_true", default=False,
+                   help="skip the serialized jax.export graph (orbax params "
+                        "+ config only)")
     return p.parse_args(argv)
 
 
@@ -67,7 +76,32 @@ def main(argv=None):
             "dtype": args.dtype,
             "folded": True,
             "dataset": args.dataset,
+            "stablehlo": not args.no_stablehlo,
         }, f, indent=2)
+
+    if not args.no_stablehlo:
+        import jax.export as jex
+
+        from yolo_nano_tpu.models.yolo_nano import predict
+        from yolo_nano_tpu.utils.fuse_bn import empty_stats_like
+
+        run_params = folded
+        if args.dtype == "bfloat16":
+            run_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), folded)
+        fstats = empty_stats_like(run_params)
+
+        def fn(images):
+            if args.dtype == "bfloat16":
+                images = images.astype(jnp.bfloat16)
+            return predict(run_params, fstats, images, cfg, args.img_size)
+
+        spec = jax.ShapeDtypeStruct(
+            jex.symbolic_shape(f"b, {args.img_size}, {args.img_size}, 3"),
+            jnp.float32)
+        exported = jex.export(jax.jit(fn), platforms=["cpu", "tpu"])(spec)
+        with open(os.path.join(out, "predict.stablehlo"), "wb") as f:
+            f.write(exported.serialize())
     print(f"exported serving artifact → {out}")
 
 

@@ -7,11 +7,18 @@ import os
 from typing import Callable
 
 
-def load_predictor(artifact_dir: str, mesh=None) -> Callable:
+def load_predictor(artifact_dir: str, mesh=None,
+                   prefer_params: bool = False) -> Callable:
     """Load an exported artifact → predict_fn(images) → (boxes, scores,
     classes, valid). `images`: [B, S, S, 3] float32 RGB, normalized like
     data.transforms.val_transform output. Pass a mesh for multi-chip
-    batch-sharded serving."""
+    batch-sharded serving.
+
+    If the artifact carries a serialized `predict.stablehlo` graph
+    (cli/export.py default), that replays directly — no model code in the
+    load path, any batch size (symbolic dim). The parameter path is used
+    when the file is absent, `prefer_params=True`, or a mesh is given (the
+    serialized graph is single-device)."""
     import jax.numpy as jnp
 
     from yolo_nano_tpu.cli.common import make_predict_fn
@@ -22,6 +29,16 @@ def load_predictor(artifact_dir: str, mesh=None) -> Callable:
 
     with open(os.path.join(artifact_dir, "config.json")) as f:
         meta = json.load(f)
+
+    hlo_path = os.path.join(artifact_dir, "predict.stablehlo")
+    if os.path.exists(hlo_path) and not prefer_params and mesh is None:
+        import jax
+        import jax.export as jex
+
+        with open(hlo_path, "rb") as f:
+            exported = jex.deserialize(f.read())
+        call = jax.jit(exported.call)
+        return lambda images: call(jnp.asarray(images, jnp.float32))
     raw = dict(meta["config"])
     raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
     raw["strides"] = tuple(raw["strides"])
