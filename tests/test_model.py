@@ -163,3 +163,34 @@ def test_loss_forward_finite_and_differentiable():
                 for g in jax.tree_util.tree_leaves(grad))
     assert np.isfinite(gnorm) and gnorm > 0
 
+
+
+def test_predict_decode_after_topk_bit_equals_decode_all():
+    """predict() filters + top-ks on scores before decoding (20× fewer boxes
+    decoded); results must be bit-identical to the decode-everything path."""
+    from yolo_nano_tpu.ops.nms import batched_nms_scored
+
+    cfg = YoloNanoConfig(num_classes=20, conf_thresh=0.05)
+    params, stats = init_yolo_nano(jax.random.key(7), cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    got = predict(params, stats, x, cfg, 64)
+
+    conf, cls_p, txty, _ = forward_features(params, stats, x, cfg,
+                                            train=False)
+    grids = make_grids(cfg, 64)
+    obj = jax.nn.sigmoid(conf.astype(jnp.float32))[..., 0]
+    boxes = jnp.clip(decode_boxes(txty.astype(jnp.float32), grids) / 64,
+                     0.0, 1.0)
+    logits = cls_p.astype(jnp.float32)
+    m = jnp.max(logits, -1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), -1))
+    want = batched_nms_scored(boxes, jnp.exp(m - lse) * obj,
+                              jnp.argmax(logits, -1),
+                              conf_thresh=cfg.conf_thresh,
+                              iou_thresh=cfg.nms_thresh,
+                              pre_topk=cfg.nms_pre_topk,
+                              max_det=cfg.max_detections, diou=cfg.diou_nms)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -172,15 +172,12 @@ def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
     (models/yolo_nano.py:361-376, :245-279). Returns
     (boxes [B,D,4] normalized x1y1x2y2, scores [B,D], classes [B,D], valid [B,D]).
     """
-    from yolo_nano_tpu.ops.nms import batched_nms_scored
+    from yolo_nano_tpu.ops.decode import decode_boxes_gathered
+    from yolo_nano_tpu.ops.nms import nms_on_candidates
 
     conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
         params, stats, x, cfg, train=False)
-    grids = make_grids(cfg, input_size)
     obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))[..., 0]   # :365
-    boxes = jnp.clip(
-        decode_boxes(txtytwth_pred.astype(jnp.float32), grids) / input_size,
-        0.0, 1.0)                                                 # :366
     # score = max_c softmax(cls)·obj = exp(max − logsumexp)·obj — computed
     # without materializing the [B, N, C] softmax (same :367 semantics).
     # (A per-level pre-concat reduction variant measured SLOWER — 17.9 vs
@@ -190,10 +187,23 @@ def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
     score = jnp.exp(m - lse) * obj
     cls = jnp.argmax(logits, axis=-1)
-    return batched_nms_scored(
-        boxes, score, cls,
-        conf_thresh=cfg.conf_thresh, iou_thresh=cfg.nms_thresh,
-        pre_topk=cfg.nms_pre_topk, max_det=cfg.max_detections,
+    # confidence filter + top-k on SCORES first (reference :258 semantics),
+    # then decode only the K survivors — per-candidate decode math is
+    # identical, so results are bit-equal to decode-all (test-pinned)
+    b, n = score.shape
+    k = min(cfg.nms_pre_topk, n)
+    ranked = jnp.where(score >= cfg.conf_thresh, score, -1.0)
+    top_score, idx = jax.lax.top_k(ranked, k)
+    txty_k = jnp.take_along_axis(
+        txtytwth_pred.astype(jnp.float32).reshape(b, n, 4),
+        idx[..., None], axis=1)
+    top_boxes = jnp.clip(
+        decode_boxes_gathered(txty_k, idx, cfg, input_size) / input_size,
+        0.0, 1.0)                                                 # :366
+    top_cls = jnp.take_along_axis(cls, idx, axis=1)
+    return nms_on_candidates(
+        top_boxes, top_score, top_cls,
+        iou_thresh=cfg.nms_thresh, max_det=cfg.max_detections,
         diou=cfg.diou_nms)
 
 

@@ -72,3 +72,57 @@ def decode_boxes(txtytwth, grids: Grids):
     xywh = decode_xywh(txtytwth, grids)
     half = xywh[..., 2:] / 2
     return jnp.concatenate([xywh[..., :2] - half, xywh[..., :2] + half], -1)
+
+
+def decode_boxes_gathered(txtytwth_k, idx, cfg: YoloNanoConfig,
+                          input_size: int):
+    """Decode only selected candidates: bit-identical to `decode_boxes(...)`
+    gathered at flat indices, ~20× less decode work at a 512-of-10,647 NMS
+    budget (decode after top-k instead of before).
+
+    The per-candidate grid values (cell x/y, stride, anchor) are computed
+    ARITHMETICALLY from the flat index — TPU gathers from the Grids tables
+    measure slower than decoding everything, but the grid layout is pure
+    integer structure: level by boundary compare, cell x/y by div/mod, and
+    the 9-row anchor table via a one-hot matmul.
+
+    txtytwth_k [B, K, 4] — raw head outputs already gathered at `idx`;
+    idx [B, K] int — flat candidate index n = cell·A + anchor (HW-major,
+    level-concatenated — the forward_features layout).
+    Returns [B, K, 4] corner boxes in pixels.
+    """
+    import jax
+
+    a = cfg.num_anchors_per_level
+    cell = idx // a
+    anchor = idx % a
+    widths = [input_size // s for s in cfg.strides]
+    offsets = np.cumsum([0] + [w * w for w in widths])
+
+    level = jnp.zeros_like(cell)
+    for li in range(1, len(widths)):
+        level = jnp.where(cell >= offsets[li], li, level)
+
+    def select_by_level(values, dtype):
+        out = jnp.full_like(level, values[-1]).astype(dtype)
+        for li in range(len(values) - 2, -1, -1):
+            out = jnp.where(level == li, dtype(values[li]), out)
+        return out
+
+    stride = select_by_level(cfg.strides, jnp.float32)[..., None]
+    w_l = select_by_level(widths, jnp.int32)
+    c_in = cell - select_by_level(offsets[:-1], jnp.int32)
+    gxy = jnp.stack([(c_in % w_l), (c_in // w_l)],
+                    -1).astype(jnp.float32)                  # (x, y)
+    # anchor (w, h) by select chain over the L·A-row table — bit-exact,
+    # unlike a one-hot matmul (TPU f32 matmul precision) or a gather (slow)
+    anchors = np.asarray(cfg.anchors, np.float32)            # [L·A, 2]
+    flat = level * a + anchor
+    awh = jnp.full(flat.shape + (2,), anchors[-1])
+    for ai in range(anchors.shape[0] - 2, -1, -1):
+        awh = jnp.where((flat == ai)[..., None], anchors[ai], awh)
+
+    xy = (jax.nn.sigmoid(txtytwth_k[..., :2]) + gxy) * stride
+    wh = jnp.exp(txtytwth_k[..., 2:]) * awh
+    half = wh / 2
+    return jnp.concatenate([xy - half, xy + half], -1)

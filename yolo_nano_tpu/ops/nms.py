@@ -77,7 +77,10 @@ def nms_greedy(boxes, valid, iou_thresh: float, diou: bool = False):
     idx = jnp.arange(k)
     # sup[j, i] = True when a kept j would suppress i (strictly lower-scored)
     sup = (ovr > iou_thresh) & (idx[:, None] < idx[None, :])
-    supf = sup.astype(jnp.float32)
+    # bf16 matvec is exact here: entries are 0/1, the MXU accumulates f32,
+    # and only suppressed = (count > 0) is consumed — any nonzero count stays
+    # nonzero through the bf16 output cast. Halves the K×K sweep traffic.
+    supf = sup.astype(jnp.bfloat16)
 
     def cond(state):
         keep, prev, it = state
@@ -85,7 +88,7 @@ def nms_greedy(boxes, valid, iou_thresh: float, diou: bool = False):
 
     def body(state):
         keep, _, it = state
-        suppressed = (keep.astype(jnp.float32) @ supf) > 0
+        suppressed = (keep.astype(jnp.bfloat16) @ supf) > 0
         return jnp.logical_and(valid, jnp.logical_not(suppressed)), keep, it + 1
 
     keep0 = valid
@@ -138,15 +141,38 @@ def batched_nms_scored(boxes, score, cls, *, conf_thresh: float = 0.001,
     score = score.astype(jnp.float32)
     # small inputs (low resolutions) can have fewer candidates than the budget
     pre_topk = min(pre_topk, boxes.shape[1])
-    max_det_out = max_det
-    max_det = min(max_det, pre_topk)
 
-    def single(bx, score, cls):
-        ok = score >= conf_thresh                          # :258
-        ranked = jnp.where(ok, score, -1.0)
-        top_score, idx = lax.top_k(ranked, pre_topk)
-        top_boxes = bx[idx]
-        top_cls = cls[idx]
+    ranked = jnp.where(score >= conf_thresh, score, -1.0)   # :258
+    top_score, idx = lax.top_k(ranked, pre_topk)
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(cls, idx, axis=1)
+    return nms_on_candidates(top_boxes, top_score, top_cls,
+                             iou_thresh=iou_thresh, max_det=max_det,
+                             diou=diou, class_offset=class_offset)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_thresh", "max_det", "diou", "class_offset"),
+)
+def nms_on_candidates(top_boxes, top_score, top_cls, *,
+                      iou_thresh: float = 0.50, max_det: int = 128,
+                      diou: bool = False, class_offset: float = 4.0):
+    """Greedy per-class NMS on K candidates already score-sorted descending
+    (entries with top_score < 0 are padding/filtered). Lets callers run the
+    confidence filter + top-k on scores FIRST and decode only the K
+    surviving boxes (models.yolo_nano.predict does) — identical results,
+    ~20× fewer boxes decoded.
+
+    top_boxes [B,K,4], top_score [B,K], top_cls [B,K] →
+    boxes [B,max_det,4], scores, classes, valid (score-sorted, zero-padded).
+    """
+    top_boxes = top_boxes.astype(jnp.float32)
+    top_score = top_score.astype(jnp.float32)
+    max_det_out = max_det
+    max_det = min(max_det, top_boxes.shape[1])
+
+    def single(top_boxes, top_score, top_cls):
         top_valid = top_score >= 0
         # per-class NMS via class-offset coordinates
         shifted = top_boxes + (top_cls[:, None] * class_offset).astype(
@@ -161,7 +187,7 @@ def batched_nms_scored(boxes, score, cls, *, conf_thresh: float = 0.001,
                 jnp.where(out_valid, top_cls[oidx], 0).astype(jnp.int32),
                 out_valid)
 
-    out = jax.vmap(single)(boxes, score, cls)
+    out = jax.vmap(single)(top_boxes, top_score, top_cls)
     if max_det < max_det_out:  # keep the promised fixed output shape
         pad = max_det_out - max_det
         out = tuple(jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
