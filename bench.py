@@ -97,8 +97,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from yolo_nano_tpu.models.yolo_nano import forward_features, predict
-    from yolo_nano_tpu.ops.decode import decode_boxes, make_grids
-    from yolo_nano_tpu.ops.nms import batched_nms_scored
+    from yolo_nano_tpu.ops.decode import decode_boxes_gathered
+    from yolo_nano_tpu.ops.nms import nms_on_candidates
 
     # reference benchmark protocol thresholds (benchmark.py:126-127)
     overrides = dict(conf_thresh=0.1, nms_thresh=0.45,
@@ -134,8 +134,6 @@ def main(argv=None):
 
     # ---- decode+NMS stage in isolation, driven by the model's own REAL
     # score/box tensors on these inputs (not synthetic hot-score injections)
-    grids = make_grids(cfg, SIZE)
-
     @jax.jit
     def features(p, x):
         conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
@@ -153,13 +151,21 @@ def main(argv=None):
 
     @jax.jit
     def postprocess(txty, score, cls_idx):
-        bx = jnp.clip(decode_boxes(txty, grids) / SIZE, 0.0, 1.0)
-        return batched_nms_scored(bx, score, cls_idx,
-                                  conf_thresh=cfg.conf_thresh,
-                                  iou_thresh=cfg.nms_thresh,
-                                  pre_topk=cfg.nms_pre_topk,
-                                  max_det=cfg.max_detections,
-                                  diou=cfg.diou_nms)
+        # mirrors models.yolo_nano.predict: top-k on scores first, decode
+        # only the K survivors (bit-equal to decode-all, test-pinned)
+        b, n = score.shape
+        k = min(cfg.nms_pre_topk, n)
+        ranked = jnp.where(score >= cfg.conf_thresh, score, -1.0)
+        top_score, idx = jax.lax.top_k(ranked, k)
+        txty_k = jnp.take_along_axis(txty.reshape(b, n, 4), idx[..., None],
+                                     axis=1)
+        bx = jnp.clip(decode_boxes_gathered(txty_k, idx, cfg, SIZE) / SIZE,
+                      0.0, 1.0)
+        top_cls = jnp.take_along_axis(cls_idx, idx, axis=1)
+        return nms_on_candidates(bx, top_score, top_cls,
+                                 iou_thresh=cfg.nms_thresh,
+                                 max_det=cfg.max_detections,
+                                 diou=cfg.diou_nms)
 
     np.asarray(postprocess(txty, score, cls_idx)[1])  # compile
     # per-dispatch p50: one host fetch per call → includes tunnel round trip
