@@ -124,3 +124,34 @@ def test_test_cli_writes_visualizations(synthetic_voc, tmp_path):
                "--img_size", "64", "--num_images", "2",
                "--save_folder", out])
     assert len(os.listdir(out)) == 2
+
+
+def test_demo_cli_video_mode(synthetic_voc, tmp_path, capsys):
+    """Streaming demo on a tiny synthetic video: frames written + the
+    fixed-latency report (p50/p99) printed."""
+    import cv2
+
+    from yolo_nano_tpu.cli.train import main as train_main
+
+    save = str(tmp_path / "w3")
+    train_main(["-d", "voc", "--root", synthetic_voc, "--img_size", "64",
+                "--eval_size", "64", "--batch_size", "2", "--max_epoch", "1",
+                "--voc_sets", "2007", "--eval_epoch", "1",
+                "--num_workers", "1", "--save_folder", save, "-no_wp"])
+    ckpt_dir = os.path.join(save, "voc", "yolo_nano", "ckpt")
+
+    vid = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"XVID"), 10, (96, 80))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        w.write(rng.integers(0, 255, (80, 96, 3), np.uint8))
+    w.release()
+
+    from yolo_nano_tpu.cli.demo import main as demo_main
+
+    out_dir = str(tmp_path / "demo_out")
+    demo_main(["--mode", "video", "--path", vid, "--weight", ckpt_dir,
+               "-d", "voc", "--img_size", "64", "--path_to_save", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "demo_out.avi"))
+    printed = capsys.readouterr().out
+    assert "frame latency: p50" in printed

@@ -88,15 +88,23 @@ def main(argv=None):
             print(f"[{i + 1}/{len(paths)}] → {dst}")
         return
 
+    # streaming modes run the same compiled batch-1 graph every frame
+    # (fixed shape → fixed latency); per-frame wall time (preprocess +
+    # predict + draw) is reported as p50/p99 at the end
+    import time
+
     cap = cv2.VideoCapture(0 if args.mode == "camera" else args.path)
     writer = None
     idx = 0
+    frame_times = []
     while True:
         ok, frame = cap.read()
         if not ok:
             break
+        t0 = time.perf_counter()
         out = _detect_frame(frame, predict_fn, args.img_size, names,
                             args.vis_thresh)
+        frame_times.append(time.perf_counter() - t0)
         if args.mode == "video":
             if writer is None:
                 fps = cap.get(cv2.CAP_PROP_FPS) or 30
@@ -111,11 +119,18 @@ def main(argv=None):
                 break
         idx += 1
         if idx % 50 == 0:
-            print(f"processed {idx} frames")
+            recent = frame_times[-50:]
+            print(f"processed {idx} frames "
+                  f"({1.0 / float(np.mean(recent)):.1f} FPS recent)")
     cap.release()
     if writer is not None:
         writer.release()
         print(f"wrote {os.path.join(args.path_to_save, 'demo_out.avi')}")
+    if len(frame_times) > 1:
+        lat = np.asarray(frame_times[1:]) * 1e3  # first frame = compile
+        print(f"frame latency: p50 {np.percentile(lat, 50):.1f} ms / "
+              f"p99 {np.percentile(lat, 99):.1f} ms "
+              f"({1e3 / float(np.mean(lat)):.1f} FPS sustained)")
 
 
 if __name__ == "__main__":
