@@ -155,3 +155,17 @@ def test_demo_cli_video_mode(synthetic_voc, tmp_path, capsys):
     assert os.path.exists(os.path.join(out_dir, "demo_out.avi"))
     printed = capsys.readouterr().out
     assert "frame latency: p50" in printed
+
+
+def test_benchmark_cli_synthetic(capsys):
+    """Benchmark CLI on the synthetic-input fallback (no dataset): prints
+    FLOPs report and the throughput/latency JSON line."""
+    from yolo_nano_tpu.cli.benchmark import main as benchmark_main
+
+    benchmark_main(["--img_size", "64", "--batch_size", "2", "--iters", "3",
+                    "--dtype", "float32"])
+    printed = capsys.readouterr().out
+    line = [ln for ln in printed.splitlines()
+            if ln.startswith("{") and "img/s" in ln][-1]
+    rec = json.loads(line)
+    assert rec["value"] > 0 and rec["p50_batch_ms"] > 0
