@@ -45,13 +45,9 @@ def load_model(cfg_overrides):
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
     if os.path.isdir(ARTIFACT):
-        with open(os.path.join(ARTIFACT, "config.json")) as f:
-            meta = json.load(f)
-        raw = dict(meta["config"])
-        raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
-        raw["strides"] = tuple(raw["strides"])
-        raw.update(cfg_overrides)
-        cfg = YoloNanoConfig(**raw)
+        from yolo_nano_tpu.serving import load_artifact_config
+
+        cfg, _ = load_artifact_config(ARTIFACT, **cfg_overrides)
         p0, s0 = init_yolo_nano(jax.random.key(0), cfg)
         template = fold_bn(p0, s0)
         folded = load_params(os.path.join(ARTIFACT, "params"), template)
@@ -90,22 +86,22 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args(argv)
     global BATCH
-    if args.batch:
+    if args.batch is not None:
         BATCH = args.batch
 
     import jax
     import jax.numpy as jnp
 
-    from yolo_nano_tpu.models.yolo_nano import forward_features, predict
-    from yolo_nano_tpu.ops.decode import decode_boxes_gathered
-    from yolo_nano_tpu.ops.nms import nms_on_candidates
+    from yolo_nano_tpu.models.yolo_nano import (forward_features,
+                                                postprocess_scored, predict,
+                                                scores_from_features)
 
     # reference benchmark protocol thresholds (benchmark.py:126-127)
     overrides = dict(conf_thresh=0.1, nms_thresh=0.45,
                      compute_dtype="bfloat16")
-    if args.pre_topk:
+    if args.pre_topk is not None:
         overrides["nms_pre_topk"] = args.pre_topk
-    if args.max_det:
+    if args.max_det is not None:
         overrides["max_detections"] = args.max_det
     folded, fstats, cfg, kind = load_model(overrides)
 
@@ -138,34 +134,16 @@ def main(argv=None):
     def features(p, x):
         conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
             p, fstats, x, cfg, train=False)
-        obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))[..., 0]
-        logits = cls_pred.astype(jnp.float32)
-        m = jnp.max(logits, axis=-1)
-        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
-        score = jnp.exp(m - lse) * obj
-        return (txtytwth_pred.astype(jnp.float32), score,
-                jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        score, cls_idx = scores_from_features(conf_pred, cls_pred)
+        return txtytwth_pred.astype(jnp.float32), score, cls_idx
 
     txty, score, cls_idx = features(folded, images)
-    mean_cands = float(jnp.mean(jnp.sum(score > cfg.conf_thresh, axis=1)))
+    mean_cands = float(jnp.mean(jnp.sum(score >= cfg.conf_thresh, axis=1)))
 
+    # the production postprocess itself (predict = features + this)
     @jax.jit
     def postprocess(txty, score, cls_idx):
-        # mirrors models.yolo_nano.predict: top-k on scores first, decode
-        # only the K survivors (bit-equal to decode-all, test-pinned)
-        b, n = score.shape
-        k = min(cfg.nms_pre_topk, n)
-        ranked = jnp.where(score >= cfg.conf_thresh, score, -1.0)
-        top_score, idx = jax.lax.top_k(ranked, k)
-        txty_k = jnp.take_along_axis(txty.reshape(b, n, 4), idx[..., None],
-                                     axis=1)
-        bx = jnp.clip(decode_boxes_gathered(txty_k, idx, cfg, SIZE) / SIZE,
-                      0.0, 1.0)
-        top_cls = jnp.take_along_axis(cls_idx, idx, axis=1)
-        return nms_on_candidates(bx, top_score, top_cls,
-                                 iou_thresh=cfg.nms_thresh,
-                                 max_det=cfg.max_detections,
-                                 diou=cfg.diou_nms)
+        return postprocess_scored(txty, score, cls_idx, cfg, SIZE)
 
     np.asarray(postprocess(txty, score, cls_idx)[1])  # compile
     # per-dispatch p50: one host fetch per call → includes tunnel round trip

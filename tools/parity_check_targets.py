@@ -18,6 +18,20 @@ import numpy as np
 REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
 
 
+def _load_reference_tools():
+    """Load the reference's top-level tools.py under a non-colliding module
+    name: `import tools` would resolve to THIS repo's tools/ package whenever
+    it is already in sys.modules (e.g. `python -m tools.<script>`)."""
+    import importlib.util
+
+    path = os.path.join(REFERENCE, "tools.py")
+    spec = importlib.util.spec_from_file_location("_reference_tools", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_reference_tools"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main():
     if not os.path.isdir(REFERENCE):
         print("reference not available — skipping")
@@ -26,7 +40,7 @@ def main():
     cwd = os.getcwd()
     os.chdir(REFERENCE)
     try:
-        import tools as ref_tools
+        ref_tools = _load_reference_tools()
     finally:
         os.chdir(cwd)
 

@@ -26,6 +26,20 @@ import numpy as np
 REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
 
 
+def _load_reference_tools():
+    """Load the reference's top-level tools.py under a non-colliding module
+    name: `import tools` would resolve to THIS repo's tools/ package whenever
+    it is already in sys.modules (e.g. `python -m tools.<script>`)."""
+    import importlib.util
+
+    path = os.path.join(REFERENCE, "tools.py")
+    spec = importlib.util.spec_from_file_location("_reference_tools", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_reference_tools"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def torch_predict_adapter(model, max_det=128):
     """Wrap the reference eval branch (batch-size-1, host numpy postprocess,
     reference models/yolo_nano.py:361-376) in our predict_fn contract:
@@ -87,7 +101,7 @@ def main(argv=None):
     cwd = os.getcwd()
     os.chdir(REFERENCE)
     try:
-        import tools as ref_tools
+        ref_tools = _load_reference_tools()
         from data.config import MULTI_ANCHOR_SIZE
         from data.transforms import TrainTransforms
         from data.voc import VOCDetection
@@ -115,6 +129,7 @@ def main(argv=None):
     anchors = model.anchor_size.view(-1, 2).tolist()
 
     base_lr = tmp_lr = args.lr
+    last_total = None
     for epoch in range(args.epochs):
         if epoch in args.lr_epoch:
             tmp_lr = tmp_lr * 0.1
@@ -142,8 +157,12 @@ def main(argv=None):
             total.backward()
             optimizer.step()
             optimizer.zero_grad()
+            last_total = float(total)
+        if last_total is None:
+            raise SystemExit("dataset produced no training batches — check "
+                             "--root / split files")
         print(f"[ref epoch {epoch + 1}/{args.epochs}] "
-              f"total {float(total):.3f}", flush=True)
+              f"total {last_total:.3f}", flush=True)
 
     if args.save:
         torch.save(model.state_dict(), args.save)

@@ -42,18 +42,18 @@ def main(argv=None):
     from yolo_nano_tpu.config import YoloNanoConfig
     from yolo_nano_tpu.evaluation.evaluator import COCOEvaluator
     from yolo_nano_tpu.models.yolo_nano import (forward_features,
-                                                init_yolo_nano)
+                                                init_yolo_nano,
+                                                scores_from_features)
+    from yolo_nano_tpu.serving import load_artifact_config
     from yolo_nano_tpu.utils.checkpoint import load_params
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
-    with open(f"{args.artifact}/config.json") as f:
-        meta = json.load(f)
+    base_cfg, meta = load_artifact_config(args.artifact,
+                                          conf_thresh=args.conf_thresh)
     raw = dict(meta["config"])
-    raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
-    raw["strides"] = tuple(raw["strides"])
+    raw["anchors"] = base_cfg.anchors
+    raw["strides"] = base_cfg.strides
     raw["conf_thresh"] = args.conf_thresh
-
-    base_cfg = YoloNanoConfig(**raw)
     p0, s0 = init_yolo_nano(jax.random.key(0), base_cfg)
     params = load_params(f"{args.artifact}/params", fold_bn(p0, s0))
     stats = empty_stats_like(params)
@@ -64,21 +64,20 @@ def main(argv=None):
     def count_cands(x):
         conf_pred, cls_pred, _, _ = forward_features(params, stats, x,
                                                      base_cfg, train=False)
-        obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))[..., 0]
-        logits = cls_pred.astype(jnp.float32)
-        m = jnp.max(logits, axis=-1)
-        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
-        score = jnp.exp(m - lse) * obj
-        return jnp.sum(score > args.conf_thresh, axis=1)
+        score, _ = scores_from_features(conf_pred, cls_pred)
+        # >= matches the NMS filter (reference models/yolo_nano.py:258)
+        return jnp.sum(score >= args.conf_thresh, axis=1)
 
     from yolo_nano_tpu.data.loader import EvalLoader
 
     probe = COCOEvaluator(args.root, args.img_size,
                           batch_size=args.batch_size)
     counts = []
-    for images, _ in EvalLoader(probe.dataset, args.img_size,
-                                args.batch_size, 2):
-        counts.extend(np.asarray(count_cands(images)).tolist())
+    for images, metas in EvalLoader(probe.dataset, args.img_size,
+                                    args.batch_size, 2):
+        # the last batch is padded by repeating the final image; metas has
+        # one entry per REAL image — trim so duplicates don't skew the stats
+        counts.extend(np.asarray(count_cands(images))[:len(metas)].tolist())
     cand = {"mean": round(float(np.mean(counts)), 1),
             "max": int(np.max(counts)), "n_total": n_total}
     print(json.dumps({"candidates_above_conf": cand}), flush=True)

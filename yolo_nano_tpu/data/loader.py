@@ -89,6 +89,17 @@ class DetectionLoader:
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"unknown worker_mode {worker_mode!r}")
         self.worker_mode = worker_mode
+        if (worker_mode == "process"
+                and getattr(dataset, "_img_cache", None) is not None):
+            import warnings
+
+            warnings.warn(
+                "cache_images with worker_mode='process' keeps an "
+                "INDEPENDENT decoded-image cache in every spawned worker "
+                "(the dataset is pickled once per worker): RAM scales with "
+                "num_workers and shuffled epochs gut the hit rate. Prefer "
+                "worker_mode='thread' with the cache (one shared copy), or "
+                "drop the cache for process workers.", stacklevel=3)
         self._epoch = 0
         self._proc_pool = None
 

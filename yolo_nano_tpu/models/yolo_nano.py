@@ -165,31 +165,32 @@ def forward_features(params, stats, x, cfg: YoloNanoConfig,
     return conf_pred, cls_pred, txtytwth_pred, new_stats
 
 
-def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
-    """Batched inference: images → fixed-shape detections, entirely on device.
+def scores_from_features(conf_pred, cls_pred):
+    """Head outputs → (score [B,N], cls [B,N] int32).
 
-    Replaces the reference eval branch + host postprocess
-    (models/yolo_nano.py:361-376, :245-279). Returns
-    (boxes [B,D,4] normalized x1y1x2y2, scores [B,D], classes [B,D], valid [B,D]).
-    """
-    from yolo_nano_tpu.ops.decode import decode_boxes_gathered
-    from yolo_nano_tpu.ops.nms import nms_on_candidates
-
-    conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
-        params, stats, x, cfg, train=False)
+    score = max_c softmax(cls)·sigmoid(obj) = exp(max − logsumexp)·obj —
+    computed without materializing the [B, N, C] softmax (reference
+    :365-367 semantics). (A per-level pre-concat reduction variant measured
+    SLOWER — 17.9 vs 17.4 ms/batch-128 on v5e — XLA already fuses this
+    concat+reduce well.)"""
     obj = jax.nn.sigmoid(conf_pred.astype(jnp.float32))[..., 0]   # :365
-    # score = max_c softmax(cls)·obj = exp(max − logsumexp)·obj — computed
-    # without materializing the [B, N, C] softmax (same :367 semantics).
-    # (A per-level pre-concat reduction variant measured SLOWER — 17.9 vs
-    # 17.4 ms/batch-128 on v5e — XLA already fuses this concat+reduce well.)
     logits = cls_pred.astype(jnp.float32)
     m = jnp.max(logits, axis=-1)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
     score = jnp.exp(m - lse) * obj
-    cls = jnp.argmax(logits, axis=-1)
-    # confidence filter + top-k on SCORES first (reference :258 semantics),
-    # then decode only the K survivors — per-candidate decode math is
-    # identical, so results are bit-equal to decode-all (test-pinned)
+    cls = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return score, cls
+
+
+def postprocess_scored(txtytwth_pred, score, cls, cfg: YoloNanoConfig,
+                       input_size: int):
+    """Scored predictions → fixed-shape detections: confidence filter +
+    top-k on SCORES first (reference :258 semantics), decode only the K
+    survivors (per-candidate decode math is identical, so results are
+    bit-equal to decode-all — test-pinned), then per-class greedy NMS."""
+    from yolo_nano_tpu.ops.decode import decode_boxes_gathered
+    from yolo_nano_tpu.ops.nms import nms_on_candidates
+
     b, n = score.shape
     k = min(cfg.nms_pre_topk, n)
     ranked = jnp.where(score >= cfg.conf_thresh, score, -1.0)
@@ -205,6 +206,19 @@ def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
         top_boxes, top_score, top_cls,
         iou_thresh=cfg.nms_thresh, max_det=cfg.max_detections,
         diou=cfg.diou_nms)
+
+
+def predict(params, stats, x, cfg: YoloNanoConfig, input_size: int):
+    """Batched inference: images → fixed-shape detections, entirely on device.
+
+    Replaces the reference eval branch + host postprocess
+    (models/yolo_nano.py:361-376, :245-279). Returns
+    (boxes [B,D,4] normalized x1y1x2y2, scores [B,D], classes [B,D], valid [B,D]).
+    """
+    conf_pred, cls_pred, txtytwth_pred, _ = forward_features(
+        params, stats, x, cfg, train=False)
+    score, cls = scores_from_features(conf_pred, cls_pred)
+    return postprocess_scored(txtytwth_pred, score, cls, cfg, input_size)
 
 
 def iou_score(boxes_a, boxes_b):

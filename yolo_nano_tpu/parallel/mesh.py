@@ -37,12 +37,30 @@ def make_mesh_2d(n_dcn: int, n_data: int,
     across slices (data-center network), the trailing ("data") axis across
     chips within a slice (ICI). Batches shard over BOTH axes; the gradient
     all-reduce GSPMD inserts then decomposes into an ICI reduce-scatter +
-    a (much smaller) DCN all-reduce — the standard multi-slice DP layout."""
+    a (much smaller) DCN all-reduce — the standard multi-slice DP layout.
+
+    Device assignment goes through jax.experimental.mesh_utils'
+    create_hybrid_device_mesh, which places the leading axis on actual
+    slice (DCN) boundaries — a naive jax.devices() reshape is NOT
+    topology-safe (device order need not be slice-major, and a mixed row
+    would put the hot per-step all-reduce on the slow DCN link). Falls back
+    to the plain reshape on single-slice / virtual-CPU device sets, where
+    every grouping is equivalent."""
     devices = jax.devices()
     need = n_dcn * n_data
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    grid = np.asarray(devices[:need]).reshape(n_dcn, n_data)
+    try:
+        from jax.experimental import mesh_utils
+
+        # per-axis sizes multiply: ICI shape (1, n_data) × DCN (n_dcn, 1)
+        # → a [n_dcn, n_data] grid with rows on slice boundaries
+        grid = np.asarray(mesh_utils.create_hybrid_device_mesh(
+            (1, n_data), (n_dcn, 1), devices=devices[:need]))
+    except Exception:
+        # single-slice chips or virtual CPU devices carry no slice_index —
+        # any grouping is topology-equivalent there
+        grid = np.asarray(devices[:need]).reshape(n_dcn, n_data)
     return Mesh(grid, axes)
 
 

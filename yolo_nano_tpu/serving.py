@@ -7,6 +7,23 @@ import os
 from typing import Callable
 
 
+def load_artifact_config(artifact_dir: str, **overrides):
+    """Parse an artifact's config.json → (YoloNanoConfig, meta dict).
+
+    The single place that normalizes the JSON lists back to the tuples the
+    frozen dataclass expects — bench.py, tools/sweep_nms_budget.py and
+    load_predictor all load artifacts through here."""
+    from yolo_nano_tpu.config import YoloNanoConfig
+
+    with open(os.path.join(artifact_dir, "config.json")) as f:
+        meta = json.load(f)
+    raw = dict(meta["config"])
+    raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
+    raw["strides"] = tuple(raw["strides"])
+    raw.update(overrides)
+    return YoloNanoConfig(**raw), meta
+
+
 def load_predictor(artifact_dir: str, mesh=None,
                    prefer_params: bool = False) -> Callable:
     """Load an exported artifact → predict_fn(images) → (boxes, scores,
@@ -22,13 +39,11 @@ def load_predictor(artifact_dir: str, mesh=None,
     import jax.numpy as jnp
 
     from yolo_nano_tpu.cli.common import make_predict_fn
-    from yolo_nano_tpu.config import YoloNanoConfig
     from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
     from yolo_nano_tpu.utils.checkpoint import load_params
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
-    with open(os.path.join(artifact_dir, "config.json")) as f:
-        meta = json.load(f)
+    cfg, meta = load_artifact_config(artifact_dir)
 
     hlo_path = os.path.join(artifact_dir, "predict.stablehlo")
     if os.path.exists(hlo_path) and not prefer_params and mesh is None:
@@ -39,10 +54,6 @@ def load_predictor(artifact_dir: str, mesh=None,
             exported = jex.deserialize(f.read())
         call = jax.jit(exported.call)
         return lambda images: call(jnp.asarray(images, jnp.float32))
-    raw = dict(meta["config"])
-    raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
-    raw["strides"] = tuple(raw["strides"])
-    cfg = YoloNanoConfig(**raw)
 
     # template with the exported (folded, cast) structure
     import jax
