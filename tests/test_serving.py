@@ -78,3 +78,28 @@ def test_stablehlo_graph_path(trained_ckpt, tmp_path):
                  "--no_stablehlo"])
     assert not os.path.exists(os.path.join(out2, "predict.stablehlo"))
     assert load_predictor(out2) is not None
+
+
+def test_batch_buckets_exact_per_image(trained_ckpt, tmp_path):
+    """Bucketed serving (pad to bucket / chunk over max) returns per-image
+    results identical to the unbucketed predictor for ragged batch sizes."""
+    import jax
+
+    from yolo_nano_tpu.cli.export import main as export_main
+    from yolo_nano_tpu.serving import load_predictor
+
+    out = str(tmp_path / "artifact")
+    export_main(["--weight", trained_ckpt, "--out", out, "-d", "voc",
+                 "--img_size", "64", "--ema", "--dtype", "float32",
+                 "--no_stablehlo"])
+    plain = load_predictor(out)
+    bucketed = load_predictor(out, batch_buckets=(2, 4))
+
+    for batch in (1, 2, 3, 4, 7, 9):
+        x = np.asarray(jax.random.uniform(jax.random.key(batch),
+                                          (batch, 64, 64, 3)), np.float32)
+        a = [np.asarray(t) for t in bucketed(x)]
+        b = [np.asarray(t) for t in plain(x)]
+        assert a[0].shape[0] == batch
+        for ga, gb in zip(a, b):
+            np.testing.assert_array_equal(ga, gb)

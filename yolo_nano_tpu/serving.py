@@ -24,8 +24,50 @@ def load_artifact_config(artifact_dir: str, **overrides):
     return YoloNanoConfig(**raw), meta
 
 
+def bucket_batches(predict_fn: Callable, buckets) -> Callable:
+    """Wrap a fixed-shape predict_fn so ANY batch size is served by a
+    BOUNDED set of compiled graphs: the batch is zero-padded up to the
+    smallest bucket that fits (padded rows are sliced off the outputs —
+    per-image results are unchanged), and batches larger than the biggest
+    bucket are processed in max-bucket chunks.
+
+    Production rationale: every distinct batch size is its own XLA
+    compilation (~tens of seconds on a cold program); serving traffic with
+    ragged batch sizes must not compile per size. Padding is also FASTER
+    than some native sizes on v5e — XLA has a tiling cliff at batch 192
+    (44.5 ms) where padding to the 256 graph runs in 40.9 ms
+    (docs/DESIGN.md §7.1)."""
+    import numpy as np
+
+    buckets = tuple(sorted(set(int(b) for b in buckets)))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"buckets must be positive ints, got {buckets!r}")
+    biggest = buckets[-1]
+
+    def run_padded(chunk):
+        b = chunk.shape[0]
+        bucket = next(k for k in buckets if k >= b)
+        if bucket != b:
+            pad = np.zeros((bucket - b,) + chunk.shape[1:], chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        out = predict_fn(chunk)
+        return [np.asarray(t)[:b] for t in out]
+
+    def wrapped(images):
+        images = np.asarray(images)
+        if images.shape[0] <= biggest:
+            return tuple(run_padded(images))
+        parts = [run_padded(images[lo:lo + biggest])
+                 for lo in range(0, images.shape[0], biggest)]
+        return tuple(np.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(len(parts[0])))
+
+    return wrapped
+
+
 def load_predictor(artifact_dir: str, mesh=None,
-                   prefer_params: bool = False) -> Callable:
+                   prefer_params: bool = False,
+                   batch_buckets=None) -> Callable:
     """Load an exported artifact → predict_fn(images) → (boxes, scores,
     classes, valid). `images`: [B, S, S, 3] float32 RGB, normalized like
     data.transforms.val_transform output. Pass a mesh for multi-chip
@@ -35,7 +77,10 @@ def load_predictor(artifact_dir: str, mesh=None,
     (cli/export.py default), that replays directly — no model code in the
     load path, any batch size (symbolic dim). The parameter path is used
     when the file is absent, `prefer_params=True`, or a mesh is given (the
-    serialized graph is single-device)."""
+    serialized graph is single-device).
+
+    batch_buckets (e.g. (1, 8, 32, 128)): serve ragged batch sizes from a
+    bounded compiled-graph set via zero-padding — see `bucket_batches`."""
     import jax.numpy as jnp
 
     from yolo_nano_tpu.cli.common import make_predict_fn
@@ -53,7 +98,8 @@ def load_predictor(artifact_dir: str, mesh=None,
         with open(hlo_path, "rb") as f:
             exported = jex.deserialize(f.read())
         call = jax.jit(exported.call)
-        return lambda images: call(jnp.asarray(images, jnp.float32))
+        fn = lambda images: call(jnp.asarray(images, jnp.float32))  # noqa: E731
+        return bucket_batches(fn, batch_buckets) if batch_buckets else fn
 
     # template with the exported (folded, cast) structure
     import jax
@@ -66,5 +112,6 @@ def load_predictor(artifact_dir: str, mesh=None,
         template = cast_f32_to_bf16(template)
     params = load_params(os.path.join(artifact_dir, "params"), template)
     stats = empty_stats_like(params)
-    return make_predict_fn(params, stats, cfg, meta["img_size"],
-                           fold=False, dtype=meta["dtype"], mesh=mesh)
+    fn = make_predict_fn(params, stats, cfg, meta["img_size"],
+                         fold=False, dtype=meta["dtype"], mesh=mesh)
+    return bucket_batches(fn, batch_buckets) if batch_buckets else fn
