@@ -5,7 +5,8 @@ This is a thin driver over reference components, mirroring the reference
 training loop semantics (reference train.py:180-235: SGD momentum 0.9 /
 wd 5e-4, (ni/nw)^4 warmup then step decay, host multi_gt_creator per iter,
 loss inside model.forward) without the parts both sides disable for the
-comparison (EMA, multi-scale, mosaic). The trained torch model is wrapped in
+comparison (multi-scale, mosaic; EMA is optional via --ema on BOTH sides —
+the reference ModelEMA shadow, utils/misc.py:67-86). The trained torch model is wrapped in
 a predict_fn adapter and evaluated with yolo_nano_tpu's VOCEvaluator, so both
 frameworks' final numbers come from the SAME metric code on the SAME data.
 
@@ -80,6 +81,10 @@ def main(argv=None):
     p.add_argument("--wp_epoch", type=int, default=2)
     p.add_argument("--lr_epoch", nargs="+", type=int, default=[1000])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true", default=False,
+                   help="track + evaluate the reference ModelEMA shadow "
+                        "(reference utils/misc.py:67-86), matching our "
+                        "--ema side")
     p.add_argument("--save", default=None, help="optional .pth output")
     args = p.parse_args(argv)
 
@@ -106,13 +111,14 @@ def main(argv=None):
         from data.transforms import TrainTransforms
         from data.voc import VOCDetection
         from models.yolo_nano import YOLONano
-        from utils.misc import detection_collate
+        from utils.misc import ModelEMA, detection_collate
 
         model = YOLONano(device="cpu", input_size=args.img_size,
                          num_classes=20, trainable=True,
                          anchor_size=MULTI_ANCHOR_SIZE)
     finally:
         os.chdir(cwd)
+    ema = ModelEMA(model) if args.ema else None
 
     dataset = VOCDetection(data_dir=args.root, img_size=args.img_size,
                            image_sets=[("2007", "trainval")],
@@ -157,6 +163,8 @@ def main(argv=None):
             total.backward()
             optimizer.step()
             optimizer.zero_grad()
+            if ema is not None:
+                ema.update(model)      # reference train.py:234-235
             last_total = float(total)
         if last_total is None:
             raise SystemExit("dataset produced no training batches — check "
@@ -168,6 +176,8 @@ def main(argv=None):
         torch.save(model.state_dict(), args.save)
 
     # evaluate with OUR evaluator — same metric code as our runs
+    if ema is not None:
+        model = ema.ema               # reference eval-at-EMA semantics
     model.trainable = False
     model.set_grid(args.img_size)
     model.eval()
@@ -181,6 +191,7 @@ def main(argv=None):
     # still attract false positives and score 0, polluting the mean)
     gt_classes = {o["name"] for recs in ev._gt_cache.values() for o in recs}
     result = {"framework": "reference-torch", "seed": args.seed,
+              "ema": bool(args.ema),
               "epochs": args.epochs, "img_size": args.img_size,
               "aps": {c: round(ev.aps[c], 4) for c in sorted(gt_classes)},
               "present_class_mAP": round(float(np.mean(
