@@ -103,3 +103,26 @@ def test_batch_buckets_exact_per_image(trained_ckpt, tmp_path):
         assert a[0].shape[0] == batch
         for ga, gb in zip(a, b):
             np.testing.assert_array_equal(ga, gb)
+
+
+def test_batch_buckets_mesh_divisibility_checked(trained_ckpt, tmp_path):
+    """With a mesh, buckets that don't divide over the devices are rejected
+    at LOAD time (not at the first live request)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from yolo_nano_tpu.cli.export import main as export_main
+    from yolo_nano_tpu.serving import load_predictor
+
+    out = str(tmp_path / "artifact")
+    export_main(["--weight", trained_ckpt, "--out", out, "-d", "voc",
+                 "--img_size", "64", "--ema", "--dtype", "float32",
+                 "--no_stablehlo"])
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    with pytest.raises(ValueError, match="not divisible"):
+        load_predictor(out, mesh=mesh, batch_buckets=(1, 8))
+    p = load_predictor(out, mesh=mesh, batch_buckets=(4, 8))
+    x = np.asarray(jax.random.uniform(jax.random.key(0), (3, 64, 64, 3)),
+                   np.float32)
+    outs = p(x)
+    assert outs[0].shape[0] == 3

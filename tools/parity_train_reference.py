@@ -172,12 +172,11 @@ def main(argv=None):
         print(f"[ref epoch {epoch + 1}/{args.epochs}] "
               f"total {last_total:.3f}", flush=True)
 
-    if args.save:
-        torch.save(model.state_dict(), args.save)
-
     # evaluate with OUR evaluator — same metric code as our runs
     if ema is not None:
         model = ema.ema               # reference eval-at-EMA semantics
+    if args.save:                     # save the weights actually evaluated
+        torch.save(model.state_dict(), args.save)
     model.trainable = False
     model.set_grid(args.img_size)
     model.eval()

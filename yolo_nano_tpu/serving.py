@@ -24,19 +24,26 @@ def load_artifact_config(artifact_dir: str, **overrides):
     return YoloNanoConfig(**raw), meta
 
 
-def bucket_batches(predict_fn: Callable, buckets) -> Callable:
+def bucket_batches(predict_fn: Callable, buckets, img_shape=None,
+                   warmup: bool = False) -> Callable:
     """Wrap a fixed-shape predict_fn so ANY batch size is served by a
     BOUNDED set of compiled graphs: the batch is zero-padded up to the
     smallest bucket that fits (padded rows are sliced off the outputs —
     per-image results are unchanged), and batches larger than the biggest
-    bucket are processed in max-bucket chunks.
+    bucket are processed in max-bucket chunks. All chunks are dispatched
+    before any result is fetched, so multi-chunk requests keep the device
+    busy (same dispatch/fetch overlap as evaluation._run_batched).
 
     Production rationale: every distinct batch size is its own XLA
     compilation (~tens of seconds on a cold program); serving traffic with
     ragged batch sizes must not compile per size. Padding is also FASTER
     than some native sizes on v5e — XLA has a tiling cliff at batch 192
     (44.5 ms) where padding to the 256 graph runs in 40.9 ms
-    (docs/DESIGN.md §7.1)."""
+    (docs/DESIGN.md §7.1).
+
+    warmup=True (needs img_shape, e.g. (416, 416, 3)): compile every bucket
+    now, at wrap time, instead of lazily on the first live request of each
+    size — the load stalls once so the serving path never does."""
     import numpy as np
 
     buckets = tuple(sorted(set(int(b) for b in buckets)))
@@ -44,24 +51,31 @@ def bucket_batches(predict_fn: Callable, buckets) -> Callable:
         raise ValueError(f"buckets must be positive ints, got {buckets!r}")
     biggest = buckets[-1]
 
-    def run_padded(chunk):
+    def dispatch(chunk):
+        """→ (async predict output, real batch size)."""
         b = chunk.shape[0]
         bucket = next(k for k in buckets if k >= b)
         if bucket != b:
+            chunk = np.asarray(chunk)
             pad = np.zeros((bucket - b,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
-        out = predict_fn(chunk)
-        return [np.asarray(t)[:b] for t in out]
+        return predict_fn(chunk), b
 
     def wrapped(images):
-        images = np.asarray(images)
-        if images.shape[0] <= biggest:
-            return tuple(run_padded(images))
-        parts = [run_padded(images[lo:lo + biggest])
-                 for lo in range(0, images.shape[0], biggest)]
+        n = images.shape[0]
+        pending = [dispatch(images[lo:lo + biggest])
+                   for lo in range(0, n, biggest)]
+        parts = [[np.asarray(t)[:b] for t in out] for out, b in pending]
+        if len(parts) == 1:
+            return tuple(parts[0])
         return tuple(np.concatenate([p[i] for p in parts], axis=0)
                      for i in range(len(parts[0])))
 
+    if warmup:
+        if img_shape is None:
+            raise ValueError("warmup=True requires img_shape")
+        for k in buckets:
+            wrapped(np.zeros((k,) + tuple(img_shape), np.float32))
     return wrapped
 
 
@@ -80,7 +94,9 @@ def load_predictor(artifact_dir: str, mesh=None,
     serialized graph is single-device).
 
     batch_buckets (e.g. (1, 8, 32, 128)): serve ragged batch sizes from a
-    bounded compiled-graph set via zero-padding — see `bucket_batches`."""
+    bounded compiled-graph set via zero-padding, every bucket compiled at
+    load time — see `bucket_batches`. With a mesh, every bucket must be
+    divisible by the mesh size (batches are sharded on axis 0)."""
     import jax.numpy as jnp
 
     from yolo_nano_tpu.cli.common import make_predict_fn
@@ -89,6 +105,14 @@ def load_predictor(artifact_dir: str, mesh=None,
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
     cfg, meta = load_artifact_config(artifact_dir)
+    img_shape = (meta["img_size"], meta["img_size"], 3)
+    if batch_buckets and mesh is not None:
+        n_dev = len(mesh.devices.flat)
+        bad = [b for b in batch_buckets if b % n_dev]
+        if bad:
+            raise ValueError(
+                f"batch_buckets {bad} not divisible by the {n_dev}-device "
+                "mesh — sharded batches must split evenly over axis 0")
 
     hlo_path = os.path.join(artifact_dir, "predict.stablehlo")
     if os.path.exists(hlo_path) and not prefer_params and mesh is None:
@@ -99,7 +123,8 @@ def load_predictor(artifact_dir: str, mesh=None,
             exported = jex.deserialize(f.read())
         call = jax.jit(exported.call)
         fn = lambda images: call(jnp.asarray(images, jnp.float32))  # noqa: E731
-        return bucket_batches(fn, batch_buckets) if batch_buckets else fn
+        return bucket_batches(fn, batch_buckets, img_shape,
+                              warmup=True) if batch_buckets else fn
 
     # template with the exported (folded, cast) structure
     import jax
@@ -114,4 +139,5 @@ def load_predictor(artifact_dir: str, mesh=None,
     stats = empty_stats_like(params)
     fn = make_predict_fn(params, stats, cfg, meta["img_size"],
                          fold=False, dtype=meta["dtype"], mesh=mesh)
-    return bucket_batches(fn, batch_buckets) if batch_buckets else fn
+    return bucket_batches(fn, batch_buckets, img_shape,
+                          warmup=True) if batch_buckets else fn
