@@ -30,8 +30,8 @@ import numpy as np
 ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "assets", "bench_coco416")
 SIZE = 416
-BATCH = 128  # sweep-measured optimum on v5e (32→3.7k, 64→4.5k, 128→7.3k,
-#              256→6.1k img/s); one chip, decode+NMS included
+BATCH = 128  # sweep-measured optimum on v5e with trained weights
+#              (64→4.4k, 128→7.3k, 192→4.3k, 256→6.3k img/s — DESIGN §7.1)
 
 
 def load_model(cfg_overrides):
