@@ -177,6 +177,30 @@ def test_loader_fixed_shapes_and_determinism(tmp_path):
     assert (batches_a[0][2] == -1).any()
 
 
+def test_loader_set_epoch_resume_continuity(tmp_path):
+    """A freshly constructed loader positioned with set_epoch(k) yields
+    byte-identical batches to epoch k of an uninterrupted loader — the
+    resume path's data-order-continuity contract (cli/train.py resume)."""
+    from yolo_nano_tpu.data.loader import DetectionLoader
+
+    ds = _tiny_voc(tmp_path)
+    cont = DetectionLoader(ds, batch_size=2, max_boxes=8, num_workers=2,
+                           seed=7)
+    epochs = [[(i.copy(), b.copy(), l.copy()) for i, b, l in cont]
+              for _ in range(3)]
+    # epochs genuinely differ (shuffle + augment streams advance)
+    assert not np.array_equal(epochs[0][0][0], epochs[2][0][0])
+
+    resumed = DetectionLoader(ds, batch_size=2, max_boxes=8, num_workers=2,
+                              seed=7)
+    resumed.set_epoch(2)
+    replay = [(i.copy(), b.copy(), l.copy()) for i, b, l in resumed]
+    for (ia, ba, la), (ib, bb, lb) in zip(epochs[2], replay):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(la, lb)
+
+
 def _tiny_voc(tmp_path, n=5):
     import cv2
 

@@ -105,6 +105,18 @@ def test_batch_buckets_exact_per_image(trained_ckpt, tmp_path):
             np.testing.assert_array_equal(ga, gb)
 
 
+def test_batch_buckets_empty_batch_rejected():
+    """n=0 raises a clear ValueError instead of an IndexError deep inside
+    the chunking loop (round-2 ADVICE)."""
+    import pytest
+
+    from yolo_nano_tpu.serving import bucket_batches
+
+    wrapped = bucket_batches(lambda x: (x,), buckets=(2, 4))
+    with pytest.raises(ValueError, match="empty batch"):
+        wrapped(np.zeros((0, 64, 64, 3), np.float32))
+
+
 def test_batch_buckets_mesh_divisibility_checked(trained_ckpt, tmp_path):
     """With a mesh, buckets that don't divide over the devices are rejected
     at LOAD time (not at the first live request)."""

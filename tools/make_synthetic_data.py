@@ -10,9 +10,15 @@ Class mapping (same recipe round 1 trained its checkpoints on):
     circle   → VOC "aeroplane" / COCO category 1 ("person")
     rectangle→ VOC "bicycle"   / COCO category 3 ("car")
     triangle → VOC "bird"      / COCO category 7 ("train")
+With --classes 6 (round-3 full-recipe head-to-head sets) three harder,
+non-square classes join:
+    ellipse  → VOC "boat"      / COCO category 2 ("bicycle")
+    cross    → VOC "bottle"    / COCO category 5 ("airplane")
+    ring     → VOC "bus"       / COCO category 9 ("boat")
 
 Usage:
     python tools/make_synthetic_data.py voc  /tmp/shapes_voc  --n 200
+    python tools/make_synthetic_data.py voc  /tmp/shapes6 --n 625 --classes 6
     python tools/make_synthetic_data.py coco /tmp/shapes_coco --n 80
 """
 
@@ -24,9 +30,9 @@ import os
 
 import numpy as np
 
-VOC_SHAPE_CLASSES = ("aeroplane", "bicycle", "bird")
-COCO_SHAPE_CATS = (1, 3, 7)  # person, car, train
-COCO_SHAPE_NAMES = ("person", "car", "train")
+VOC_SHAPE_CLASSES = ("aeroplane", "bicycle", "bird", "boat", "bottle", "bus")
+COCO_SHAPE_CATS = (1, 3, 7, 2, 5, 9)
+COCO_SHAPE_NAMES = ("person", "car", "train", "bicycle", "airplane", "boat")
 
 
 def draw_shape(img, cls: int, x1: int, y1: int, x2: int, y2: int) -> None:
@@ -37,16 +43,31 @@ def draw_shape(img, cls: int, x1: int, y1: int, x2: int, y2: int) -> None:
         cv2.circle(img, (cx, cy), (x2 - x1) // 2, (40, 40, 220), -1)
     elif cls == 1:
         cv2.rectangle(img, (x1, y1), (x2, y2), (60, 200, 60), -1)
-    else:
+    elif cls == 2:
         pts = np.array([[cx, y1], [x1, y2], [x2, y2]])
-        import cv2 as _cv2
-
-        _cv2.fillPoly(img, [pts], (220, 80, 40))
+        cv2.fillPoly(img, [pts], (220, 80, 40))
+    elif cls == 3:
+        cv2.ellipse(img, (cx, cy), ((x2 - x1) // 2, (y2 - y1) // 2), 0,
+                    0, 360, (50, 200, 230), -1)
+    elif cls == 4:
+        tx = max((x2 - x1) // 3, 2)
+        ty = max((y2 - y1) // 3, 2)
+        cv2.rectangle(img, (x1, cy - ty // 2), (x2, cy + ty // 2),
+                      (200, 60, 200), -1)
+        cv2.rectangle(img, (cx - tx // 2, y1), (cx + tx // 2, y2),
+                      (200, 60, 200), -1)
+    else:
+        r = min(x2 - x1, y2 - y1) // 2
+        cv2.circle(img, (cx, cy), r, (210, 190, 40),
+                   thickness=max(r // 3, 3))
 
 
 def render_scene(rng, min_h=240, max_h=400, min_w=280, max_w=480,
-                 max_objs=3, min_size=40, max_size=90):
-    """One scene → (img BGR uint8, [(cls_idx, x1, y1, x2, y2), ...])."""
+                 max_objs=3, min_size=40, max_size=90, n_classes=3):
+    """One scene → (img BGR uint8, [(cls_idx, x1, y1, x2, y2), ...]).
+
+    n_classes=3 keeps the historical RNG stream (square boxes only);
+    classes ≥3 draw a separate height, so their boxes are non-square."""
     import cv2
 
     h = int(rng.integers(min_h, max_h))
@@ -58,14 +79,18 @@ def render_scene(rng, min_h=240, max_h=400, min_w=280, max_w=480,
         s = int(rng.integers(min_size, max_size))
         x1 = int(rng.integers(2, w - s - 2))
         y1 = int(rng.integers(2, h - s - 2))
-        cls = int(rng.integers(3))
-        draw_shape(img, cls, x1, y1, x1 + s, y1 + s)
-        objs.append((cls, x1, y1, x1 + s, y1 + s))
+        cls = int(rng.integers(n_classes))
+        sh = s
+        if cls >= 3:  # non-square box: height drawn independently
+            sh = int(rng.integers(min_size, max_size))
+            sh = min(sh, h - y1 - 3)
+        draw_shape(img, cls, x1, y1, x1 + s, y1 + sh)
+        objs.append((cls, x1, y1, x1 + s, y1 + sh))
     return img, objs
 
 
 def make_voc(out_root: str, n: int = 200, train_frac: float = 0.8,
-             seed: int = 42) -> None:
+             seed: int = 42, classes: int = 3, max_objs: int = 3) -> None:
     import cv2
 
     root = os.path.join(out_root, "VOC2007")
@@ -77,7 +102,7 @@ def make_voc(out_root: str, n: int = 200, train_frac: float = 0.8,
     for i in range(n):
         name = f"s{i:05d}"
         (names_tr if i < n_train else names_te).append(name)
-        img, objs = render_scene(rng)
+        img, objs = render_scene(rng, n_classes=classes, max_objs=max_objs)
         h, w = img.shape[:2]
         cv2.imwrite(os.path.join(root, "JPEGImages", f"{name}.jpg"), img)
         xo = "".join(
@@ -98,7 +123,7 @@ def make_voc(out_root: str, n: int = 200, train_frac: float = 0.8,
 
 
 def make_coco(out_root: str, n: int = 80, train_frac: float = 0.75,
-              seed: int = 7) -> None:
+              seed: int = 7, classes: int = 3, max_objs: int = 3) -> None:
     import cv2
 
     os.makedirs(os.path.join(out_root, "annotations"), exist_ok=True)
@@ -111,14 +136,15 @@ def make_coco(out_root: str, n: int = 80, train_frac: float = 0.75,
         aid = 1
         for i in range(lo, hi):
             img, objs = render_scene(rng, min_h=240, max_h=360,
-                                     min_w=280, max_w=420)
+                                     min_w=280, max_w=420,
+                                     n_classes=classes, max_objs=max_objs)
             h, w = img.shape[:2]
             name = f"{i + 1:012}.jpg"
             for cls, x1, y1, x2, y2 in objs:
-                s = x2 - x1
+                bw, bh = x2 - x1, y2 - y1
                 anns.append({"id": aid, "image_id": i + 1,
                              "category_id": COCO_SHAPE_CATS[cls],
-                             "bbox": [x1, y1, s, s], "area": s * s,
+                             "bbox": [x1, y1, bw, bh], "area": bw * bh,
                              "iscrowd": 0})
                 aid += 1
             cv2.imwrite(os.path.join(out_root, split, name), img)
@@ -140,9 +166,15 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=None, help="total images")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--train_frac", type=float, default=None)
+    p.add_argument("--classes", type=int, default=None, choices=range(1, 7),
+                   help="number of shape classes (default 3; 6 adds "
+                        "non-square ellipse/cross/ring)")
+    p.add_argument("--max_objs", type=int, default=None)
     args = p.parse_args(argv)
     kw = {k: v for k, v in (("n", args.n), ("seed", args.seed),
-                            ("train_frac", args.train_frac))
+                            ("train_frac", args.train_frac),
+                            ("classes", args.classes),
+                            ("max_objs", args.max_objs))
           if v is not None}
     (make_voc if args.format == "voc" else make_coco)(args.out_root, **kw)
 

@@ -211,6 +211,11 @@ def main(argv=None):
         for images, boxes_, labels_ in loader:
             yield images.astype(in_dtype), boxes_, labels_
 
+    # data-order continuity: position the loader at start_epoch so a resumed
+    # (or --start_epoch) run draws the same shuffle/augment streams an
+    # uninterrupted run would have (loader constructions start at epoch 0)
+    loader.set_epoch(start_epoch)
+
     t0 = time.time()
     for epoch in range(start_epoch, args.max_epoch):
         # double-buffered device placement: host augmentation + transfer
@@ -259,8 +264,12 @@ def main(argv=None):
         if (epoch + 1) % args.eval_epoch == 0:
             eval_params = state.ema_params if args.ema else state.params
             eval_stats = state.ema_stats if args.ema else state.stats
+            # eval fans out over the same data-parallel mesh as training
+            # (batch_size % n_use == 0 by construction of n_use, and
+            # EvalLoader pads the final batch to batch_size, so every eval
+            # batch is mesh-divisible)
             predict_fn = make_predict_fn(eval_params, eval_stats, cfg,
-                                         args.eval_size)
+                                         args.eval_size, mesh=mesh)
             evaluator.evaluate(predict_fn)
             ckpt.save(int(state.step), state)
             print(f"saved checkpoint @ step {int(state.step)}")

@@ -103,6 +103,14 @@ class DetectionLoader:
         self._epoch = 0
         self._proc_pool = None
 
+    def set_epoch(self, epoch: int) -> None:
+        """Position the loader so the NEXT `__iter__` draws epoch `epoch`'s
+        (0-based) shuffle order and augmentation RNG streams. A resumed run
+        that calls set_epoch(restored_step // epoch_size) therefore sees the
+        SAME sample sequence as an uninterrupted one — without this, every
+        fresh construction replays the epoch-0/1/2… streams."""
+        self._epoch = int(epoch)
+
     def _process_pool(self):
         """Lazy persistent process pool (the dataset ships once, at init)."""
         if self._proc_pool is None:

@@ -59,8 +59,23 @@ def make_mesh_2d(n_dcn: int, n_data: int,
             (1, n_data), (n_dcn, 1), devices=devices[:need]))
     except Exception:
         # single-slice chips or virtual CPU devices carry no slice_index —
-        # any grouping is topology-equivalent there
-        grid = np.asarray(devices[:need]).reshape(n_dcn, n_data)
+        # any grouping is topology-equivalent there. If the device set DOES
+        # span slices/processes, the naive reshape can land the hot per-step
+        # all-reduce on DCN: say so instead of failing silently.
+        picked = devices[:need]
+        spans = (len({getattr(d, "slice_index", 0) for d in picked}) > 1
+                 or len({d.process_index for d in picked}) > 1)
+        if spans:
+            import warnings
+
+            warnings.warn(
+                "create_hybrid_device_mesh failed on a device set that "
+                "spans slices/processes; falling back to a naive "
+                "jax.devices() reshape, which is NOT topology-safe — the "
+                "per-step all-reduce may ride DCN. Check the (n_dcn, "
+                "n_data) shape against the actual slice boundaries.",
+                stacklevel=2)
+        grid = np.asarray(picked).reshape(n_dcn, n_data)
     return Mesh(grid, axes)
 
 

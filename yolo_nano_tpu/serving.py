@@ -63,6 +63,9 @@ def bucket_batches(predict_fn: Callable, buckets, img_shape=None,
 
     def wrapped(images):
         n = images.shape[0]
+        if n == 0:
+            raise ValueError("bucket_batches: empty batch (n=0) — nothing "
+                             "to dispatch")
         pending = [dispatch(images[lo:lo + biggest])
                    for lo in range(0, n, biggest)]
         parts = [[np.asarray(t)[:b] for t in out] for out, b in pending]
