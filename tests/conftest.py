@@ -21,6 +21,14 @@ _MARK = "_YNT_TESTS_REEXECED"
 def pytest_configure(config):
     import jax
 
+    config.addinivalue_line(
+        "markers", "tpu: opt-in smoke tests on the real TPU backend "
+        "(YNT_TPU_TESTS=1 python -m pytest tests -m tpu)")
+    if os.environ.get("YNT_TPU_TESTS"):
+        # opt-in real-hardware run: keep the TPU backend, no re-exec;
+        # non-tpu-marked tests deselect themselves via their mesh asserts,
+        # so invoke with `-m tpu`
+        return
     if (os.environ.get(_MARK) or
             (jax.default_backend() == "cpu" and jax.device_count() >= 8)):
         jax.config.update("jax_enable_x64", False)

@@ -201,6 +201,41 @@ def test_loader_set_epoch_resume_continuity(tmp_path):
         np.testing.assert_array_equal(la, lb)
 
 
+def test_loader_process_shard_union_equals_global(tmp_path):
+    """Per-host sharded loading (multi-controller runs): each process
+    materializes only its rows of every global batch, and the concatenation
+    of all processes' shards is byte-identical to the single-process
+    loader — shuffle order and augmentation RNG are keyed on GLOBAL
+    positions (parallel/multiprocess.py contract)."""
+    import pytest
+
+    from yolo_nano_tpu.data.loader import DetectionLoader
+
+    ds = _tiny_voc(tmp_path, n=9)
+    kw = dict(batch_size=4, max_boxes=8, num_workers=2, seed=3)
+    whole = [(i.copy(), b.copy(), l.copy())
+             for i, b, l in DetectionLoader(ds, **kw)]
+    shards = [[(i.copy(), b.copy(), l.copy())
+               for i, b, l in DetectionLoader(ds, process_shard=(pid, 2),
+                                              **kw)]
+              for pid in range(2)]
+    assert len(whole) == 2  # 9 // 4 (drop_last)
+    for bi, (iw, bw, lw) in enumerate(whole):
+        ii = np.concatenate([shards[0][bi][0], shards[1][bi][0]])
+        bb = np.concatenate([shards[0][bi][1], shards[1][bi][1]])
+        ll = np.concatenate([shards[0][bi][2], shards[1][bi][2]])
+        assert shards[0][bi][0].shape[0] == 2  # local rows only
+        np.testing.assert_array_equal(iw, ii)
+        np.testing.assert_array_equal(bw, bb)
+        np.testing.assert_array_equal(lw, ll)
+    # invalid configs rejected at construction
+    with pytest.raises(ValueError, match="divide evenly"):
+        DetectionLoader(ds, batch_size=3, process_shard=(0, 2))
+    with pytest.raises(ValueError, match="drop_last"):
+        DetectionLoader(ds, batch_size=4, process_shard=(0, 2),
+                        drop_last=False)
+
+
 def _tiny_voc(tmp_path, n=5):
     import cv2
 

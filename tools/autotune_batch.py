@@ -1,0 +1,116 @@
+"""Per-resolution serving-batch autotune (round-2 VERDICT #6).
+
+Sweeps inference throughput over batch × resolution × backbone on the real
+chip and writes the optimum table to assets/autotune_batch.json, which
+`serving.default_buckets()` / `serving.optimal_batch()` read to pick
+batch buckets per shape (instead of the hand-set 128 that round 2 derived
+from a single 416 sweep — docs/DESIGN.md §7.1).
+
+Each point runs in its OWN subprocess via tools/bench_point.py — the remote
+compile worker on this image is crash-prone on repeated large compiles in
+one process, and one-compile-per-process also keeps points independent.
+Timing inside bench_point is host-fetch-bracketed (block_until_ready alone
+lies on tunneled platforms). Reference protocol being generalized:
+reference benchmark.py:40-82 (single batch-1 point).
+
+    python tools/autotune_batch.py                    # full sweep
+    python tools/autotune_batch.py --sizes 416 --backbones 1.0x --quick
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+OUT = os.path.join(REPO, "assets", "autotune_batch.json")
+
+
+def run_point(backbone: str, size: int, batch: int, timeout: int = 560):
+    cmd = [sys.executable, os.path.join(HERE, "bench_point.py"),
+           backbone, str(size), str(batch)]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        sys.stderr.write(f"point {backbone}/{size}/b{batch} failed:\n"
+                         + out.stderr[-500:] + "\n")
+        return None
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", nargs="+", type=int, default=[320, 416, 608])
+    p.add_argument("--backbones", nargs="+", default=["1.0x", "0.5x"])
+    p.add_argument("--batches", nargs="+", type=int,
+                   default=[32, 64, 128, 192, 256])
+    p.add_argument("--quick", action="store_true",
+                   help="batches 64/128/256 only")
+    p.add_argument("--out", default=OUT)
+    args = p.parse_args(argv)
+    batches = [64, 128, 256] if args.quick else args.batches
+
+    table = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            table = json.load(f).get("points", {})
+    for bb in args.backbones:
+        for size in args.sizes:
+            for batch in batches:
+                key = f"{bb}/{size}/{batch}"
+                if key in table:
+                    print(f"{key}: cached {table[key]['img_per_s']} img/s")
+                    continue
+                r = run_point(bb, size, batch)
+                if r is None:
+                    continue
+                table[key] = {"img_per_s": r["img_per_s"],
+                              "batch_ms": r["batch_ms"],
+                              "weights": r["weights"]}
+                print(f"{key}: {r['img_per_s']} img/s "
+                      f"({r['batch_ms']} ms/batch)")
+                _write(args.out, table)
+    _write(args.out, table)
+    _report(table)
+    return 0
+
+
+def _write(path, points):
+    best = {}
+    for key, v in points.items():
+        bb, size, batch = key.split("/")
+        k = f"{bb}/{size}"
+        if k not in best or v["img_per_s"] > best[k]["img_per_s"]:
+            best[k] = {"batch": int(batch), "img_per_s": v["img_per_s"]}
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"points": points, "best": best,
+                   "protocol": "tools/bench_point.py one-compile-per-"
+                               "process, host-fetch bracketed, min of 3×30 "
+                               "iter windows"}, f, indent=1, sort_keys=True)
+
+
+def _report(points):
+    print("\n| backbone | size | " + " | ".join(
+        f"b{b}" for b in (32, 64, 128, 192, 256)) + " | best |")
+    print("|---|---|" + "---|" * 6)
+    combos = sorted({tuple(k.split("/")[:2]) for k in points})
+    for bb, size in combos:
+        row, best_b, best_v = [], None, -1
+        for b in (32, 64, 128, 192, 256):
+            v = points.get(f"{bb}/{size}/{b}")
+            row.append(f"{v['img_per_s']:.0f}" if v else "—")
+            if v and v["img_per_s"] > best_v:
+                best_b, best_v = b, v["img_per_s"]
+        print(f"| {bb} | {size} | " + " | ".join(row)
+              + f" | **b{best_b}: {best_v:.0f} img/s** |")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

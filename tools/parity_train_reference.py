@@ -4,11 +4,18 @@ it with OUR evaluator — the head-to-head half of the training-parity story.
 This is a thin driver over reference components, mirroring the reference
 training loop semantics (reference train.py:180-235: SGD momentum 0.9 /
 wd 5e-4, (ni/nw)^4 warmup then step decay, host multi_gt_creator per iter,
-loss inside model.forward) without the parts both sides disable for the
-comparison (multi-scale, mosaic; EMA is optional via --ema on BOTH sides —
-the reference ModelEMA shadow, utils/misc.py:67-86). The trained torch model is wrapped in
-a predict_fn adapter and evaluated with yolo_nano_tpu's VOCEvaluator, so both
-frameworks' final numbers come from the SAME metric code on the SAME data.
+loss inside model.forward). The canonical-recipe axes are all available and
+each one drives the reference's OWN implementation:
+  --ema          → reference ModelEMA shadow (utils/misc.py:67-86)
+  --mosaic       → reference VOCDetection(mosaic=True) 4-image mosaic with
+                   ColorTransforms for mosaic samples (data/voc.py:140-220)
+  --multi_scale LO HI → every 10 iters train_size = randint(LO, HI-1)·32,
+                   model.set_grid + bilinear F.interpolate, gt built at the
+                   new size (train.py:202-212; exclusive-high bound so the
+                   size set matches our cli/train.py --multi_scale_range)
+The trained torch model is wrapped in a predict_fn adapter and evaluated with
+yolo_nano_tpu's VOCEvaluator, so both frameworks' final numbers come from the
+SAME metric code on the SAME data.
 
 Usage:
     python tools/parity_train_reference.py --root /tmp/shapes_voc \
@@ -85,6 +92,15 @@ def main(argv=None):
                    help="track + evaluate the reference ModelEMA shadow "
                         "(reference utils/misc.py:67-86), matching our "
                         "--ema side")
+    p.add_argument("--mosaic", action="store_true", default=False,
+                   help="reference 4-image mosaic augmentation with p=0.5 "
+                        "(data/voc.py:140-220)")
+    p.add_argument("--multi_scale", nargs=2, type=int, default=None,
+                   metavar=("LO", "HI"),
+                   help="multi-scale training: every 10 iters draw "
+                        "train_size = randint(LO, HI-1)*32 (reference "
+                        "train.py:202-212 semantics; exclusive-high to "
+                        "match cli/train.py --multi_scale_range)")
     p.add_argument("--save", default=None, help="optional .pth output")
     args = p.parse_args(argv)
 
@@ -108,7 +124,7 @@ def main(argv=None):
     try:
         ref_tools = _load_reference_tools()
         from data.config import MULTI_ANCHOR_SIZE
-        from data.transforms import TrainTransforms
+        from data.transforms import ColorTransforms, TrainTransforms
         from data.voc import VOCDetection
         from models.yolo_nano import YOLONano
         from utils.misc import ModelEMA, detection_collate
@@ -122,7 +138,9 @@ def main(argv=None):
 
     dataset = VOCDetection(data_dir=args.root, img_size=args.img_size,
                            image_sets=[("2007", "trainval")],
-                           transform=TrainTransforms(args.img_size))
+                           transform=TrainTransforms(args.img_size),
+                           color_augment=ColorTransforms(args.img_size),
+                           mosaic=args.mosaic)
     loader = torch.utils.data.DataLoader(
         dataset, batch_size=args.batch_size, shuffle=True, num_workers=0,
         collate_fn=detection_collate, drop_last=False,
@@ -136,6 +154,7 @@ def main(argv=None):
 
     base_lr = tmp_lr = args.lr
     last_total = None
+    train_size = args.img_size
     for epoch in range(args.epochs):
         if epoch in args.lr_epoch:
             tmp_lr = tmp_lr * 0.1
@@ -152,8 +171,18 @@ def main(argv=None):
             elif epoch == args.wp_epoch and it == 0:
                 for g in optimizer.param_groups:
                     g["lr"] = tmp_lr
+            # multi-scale trick, reference train.py:202-208
+            if args.multi_scale is not None:
+                if it % 10 == 0 and it > 0:
+                    lo, hi = args.multi_scale
+                    train_size = random.randint(lo, hi - 1) * 32
+                    model.set_grid(train_size)
+                if train_size != images.shape[-1]:
+                    images = torch.nn.functional.interpolate(
+                        images, size=train_size, mode="bilinear",
+                        align_corners=False)
             targets = [lab.tolist() for lab in targets]
-            targets = ref_tools.multi_gt_creator(args.img_size,
+            targets = ref_tools.multi_gt_creator(train_size,
                                                  model.stride, targets,
                                                  anchor_size=anchors)
             conf_l, cls_l, bbox_l, iou_l = model(images, target=targets)

@@ -72,12 +72,21 @@ class DetectionLoader:
                  MAX_BOXES_DEFAULT, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
-                 worker_mode: str = "thread"):
+                 worker_mode: str = "thread",
+                 process_shard: "Tuple[int, int] | None" = None):
         """worker_mode: "thread" (default — cv2/numpy release the GIL) or
         "process" (spawned worker pool; wins when augmentation is dominated
         by GIL-holding python, e.g. the SSD-crop retry loop on crowded
         images, and on many-core hosts). Both modes draw identical per-item
-        RNG streams, so the augmented sample sequence is byte-identical."""
+        RNG streams, so the augmented sample sequence is byte-identical.
+
+        process_shard: (process_index, process_count) for multi-controller
+        runs — this process materializes ONLY rows
+        [pid·B/n, (pid+1)·B/n) of every global batch (`batch_size` stays
+        the GLOBAL batch size). Shuffle order and per-item augmentation RNG
+        are keyed on global positions, so the union of all processes'
+        shards is byte-identical to a single-process run; feed the local
+        shard through parallel.multiprocess.global_batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
@@ -89,6 +98,19 @@ class DetectionLoader:
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"unknown worker_mode {worker_mode!r}")
         self.worker_mode = worker_mode
+        if process_shard is not None:
+            pid, count = process_shard
+            if not (0 <= pid < count):
+                raise ValueError(f"bad process_shard {process_shard!r}")
+            if batch_size % count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"over {count} processes")
+            if not drop_last:
+                raise ValueError(
+                    "process_shard requires drop_last=True (a ragged final "
+                    "batch cannot split evenly across processes)")
+        self.process_shard = process_shard
         if (worker_mode == "process"
                 and getattr(dataset, "_img_cache", None) is not None):
             import warnings
@@ -205,6 +227,12 @@ class DetectionLoader:
                             return
                         lo = bi * self.batch_size
                         hi = min(lo + self.batch_size, len(order))
+                        if self.process_shard is not None:
+                            # only this process's rows of the global batch;
+                            # seed_key stays keyed on the GLOBAL position
+                            pid, count = self.process_shard
+                            per = (hi - lo) // count
+                            lo, hi = lo + pid * per, lo + (pid + 1) * per
                         items = map_batch(pool, lo, hi)
                         images = np.stack([it[0] for it in items])
                         boxes, labels = pad_targets([it[1] for it in items],

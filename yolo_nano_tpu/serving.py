@@ -24,6 +24,36 @@ def load_artifact_config(artifact_dir: str, **overrides):
     return YoloNanoConfig(**raw), meta
 
 
+def optimal_batch(img_size: int, backbone: str = "1.0x",
+                  default: int = 128) -> int:
+    """Measured throughput-optimal serving batch for (backbone, resolution),
+    from the autotune table tools/autotune_batch.py writes
+    (assets/autotune_batch.json). Falls back to `default` when the shape was
+    never swept (128 — the measured 416 optimum, docs/DESIGN.md §7.1).
+    Unknown sizes use the nearest swept resolution."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "autotune_batch.json")
+    if not os.path.exists(path):
+        return default
+    with open(path) as f:
+        best = json.load(f).get("best", {})
+    sizes = sorted({int(k.split("/")[1]) for k in best
+                    if k.startswith(f"{backbone}/")})
+    if not sizes:
+        return default
+    nearest = min(sizes, key=lambda s: abs(s - img_size))
+    return int(best[f"{backbone}/{nearest}"]["batch"])
+
+
+def default_buckets(img_size: int, backbone: str = "1.0x"):
+    """Batch-bucket ladder for ragged serving traffic, topped by the
+    autotuned optimum: small buckets bound padding waste for light traffic,
+    the top bucket maximizes throughput for bulk traffic."""
+    top = optimal_batch(img_size, backbone)
+    ladder = [b for b in (1, 8, 32) if b < top]
+    return tuple(ladder + [top])
+
+
 def bucket_batches(predict_fn: Callable, buckets, img_shape=None,
                    warmup: bool = False) -> Callable:
     """Wrap a fixed-shape predict_fn so ANY batch size is served by a
@@ -96,10 +126,12 @@ def load_predictor(artifact_dir: str, mesh=None,
     when the file is absent, `prefer_params=True`, or a mesh is given (the
     serialized graph is single-device).
 
-    batch_buckets (e.g. (1, 8, 32, 128)): serve ragged batch sizes from a
-    bounded compiled-graph set via zero-padding, every bucket compiled at
-    load time — see `bucket_batches`. With a mesh, every bucket must be
-    divisible by the mesh size (batches are sharded on axis 0)."""
+    batch_buckets (e.g. (1, 8, 32, 128), or "auto" for the measured ladder
+    from assets/autotune_batch.json via `default_buckets`): serve ragged
+    batch sizes from a bounded compiled-graph set via zero-padding, every
+    bucket compiled at load time — see `bucket_batches`. With a mesh, every
+    bucket must be divisible by the mesh size (batches are sharded on
+    axis 0)."""
     import jax.numpy as jnp
 
     from yolo_nano_tpu.cli.common import make_predict_fn
@@ -109,6 +141,9 @@ def load_predictor(artifact_dir: str, mesh=None,
 
     cfg, meta = load_artifact_config(artifact_dir)
     img_shape = (meta["img_size"], meta["img_size"], 3)
+    if batch_buckets == "auto":
+        # autotuned ladder for this artifact's (backbone, resolution)
+        batch_buckets = default_buckets(meta["img_size"], cfg.backbone)
     if batch_buckets and mesh is not None:
         n_dev = len(mesh.devices.flat)
         bad = [b for b in batch_buckets if b % n_dev]
