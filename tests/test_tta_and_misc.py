@@ -32,6 +32,83 @@ def test_tta_is_flip_equivariant():
     np.testing.assert_allclose(top1, top2, atol=5e-3)
 
 
+def test_tta_cross_scale_merge_matches_greedy_oracle():
+    """The TTA merge stage — concatenate every view's post-NMS survivors,
+    then ONE cross-view per-class greedy NMS at the merge threshold
+    (reference utils/misc.py:133-141; utils/tta.py merge = the identical
+    batched_nms_scored call) — must equal a sequential numpy oracle.
+
+    Synthetic per-view survivors with well-separated scores (an end-to-end
+    variant through the real model is numerically ill-posed: the same
+    object seen at two scales produces near-tie scores whose greedy
+    keep/suppress decision flips on ~1e-6 fused-graph wiggle; the TTA
+    h2h tool covers that path statistically instead). Views carry heavy
+    cross-view duplicates — the case the merge exists for."""
+    from yolo_nano_tpu.ops.nms import batched_nms_scored
+
+    rng = np.random.default_rng(11)
+    b, views, per_view, max_det, thresh = 2, 6, 8, 16, 0.4
+    n = views * per_view
+    # distinct, well-separated scores (≥1e-3 gaps) → unambiguous ordering
+    base = rng.permutation(n * 2)[:n] * 1e-3 + 0.05
+    scores = np.stack([base, np.roll(base, 7)]).astype(np.float32)
+    classes = rng.integers(0, 3, (b, n)).astype(np.int32)
+    valid = rng.random((b, n)) < 0.8
+    # duplicate clusters: each view re-detects ~the same objects with jitter
+    centers = rng.uniform(0.2, 0.8, (b, per_view, 2))
+    sizes = rng.uniform(0.1, 0.25, (b, per_view, 2))
+    boxes = np.zeros((b, n, 4), np.float32)
+    for v in range(views):
+        jit = rng.normal(0, 0.01, (b, per_view, 2))
+        c, s = centers + jit, sizes * (1 + rng.normal(0, 0.05,
+                                                      (b, per_view, 2)))
+        sl = slice(v * per_view, (v + 1) * per_view)
+        boxes[:, sl, :2] = c - s / 2
+        boxes[:, sl, 2:] = c + s / 2
+        classes[:, sl] = classes[:, :per_view]  # same object → same class
+    merged_scores = np.where(valid, scores, -1.0).astype(np.float32)
+
+    got = [np.asarray(t) for t in batched_nms_scored(
+        jnp.asarray(boxes), jnp.asarray(merged_scores),
+        jnp.asarray(classes), conf_thresh=1e-3, iou_thresh=thresh,
+        pre_topk=n, max_det=max_det, diou=False)]
+
+    def greedy(bi):
+        order = np.argsort(-merged_scores[bi], kind="stable")
+        kept = []
+        for j in order:
+            if merged_scores[bi, j] < 1e-3:
+                continue
+            ok = True
+            for k in kept:
+                if classes[bi, k] != classes[bi, j]:
+                    continue
+                x1 = max(boxes[bi, j, 0], boxes[bi, k, 0])
+                y1 = max(boxes[bi, j, 1], boxes[bi, k, 1])
+                x2 = min(boxes[bi, j, 2], boxes[bi, k, 2])
+                y2 = min(boxes[bi, j, 3], boxes[bi, k, 3])
+                inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                ua = (np.prod(boxes[bi, j, 2:] - boxes[bi, j, :2])
+                      + np.prod(boxes[bi, k, 2:] - boxes[bi, k, :2]) - inter)
+                if ua > 0 and inter / ua > thresh:
+                    ok = False
+                    break
+            if ok:
+                kept.append(j)
+        return kept[:max_det]
+
+    for bi in range(b):
+        want = greedy(bi)
+        kept_idx = np.where(got[3][bi])[0]
+        assert len(kept_idx) == len(want), (len(kept_idx), len(want))
+        np.testing.assert_allclose(
+            got[1][bi][kept_idx], merged_scores[bi][want], rtol=1e-6)
+        np.testing.assert_array_equal(
+            got[2][bi][kept_idx], classes[bi][want])
+        np.testing.assert_allclose(
+            got[0][bi][kept_idx], boxes[bi][want], atol=1e-6)
+
+
 def test_eval_loader_pads_final_batch(tmp_path):
     import cv2
 

@@ -134,17 +134,19 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     args = p.parse_args(argv)
 
-    sys.path.insert(0, REFERENCE)
-    import torch
-
-    import jax  # noqa: F401  (device init before torch threads)
-
+    # import OUR tools package before the reference lands on sys.path —
+    # /root/reference/tools.py shadows it otherwise
     from tools.parity_check_reference import build_state_dict
     from tools.parity_train_reference import torch_predict_adapter
     from yolo_nano_tpu.cli.common import build_config, make_predict_fn
     from yolo_nano_tpu.cli.eval import load_weights
     from yolo_nano_tpu.config import MULTI_ANCHOR_SIZE
     from yolo_nano_tpu.utils.tta import make_tta_predict
+
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    import jax  # noqa: F401  (device init before torch threads)
 
     if not hasattr(np, "int"):  # reference TTA uses np.int (utils/misc.py:133)
         np.int = int
