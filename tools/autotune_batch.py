@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true",
                    help="batches 64/128/256 only")
     p.add_argument("--out", default=OUT)
+    p.add_argument("--timeout", type=int, default=560,
+                   help="per-point seconds (raise when the remote-compile "
+                        "tunnel is cold — first compile can take ~3 min)")
     args = p.parse_args(argv)
     batches = [64, 128, 256] if args.quick else args.batches
 
@@ -67,7 +70,7 @@ def main(argv=None):
                 if key in table:
                     print(f"{key}: cached {table[key]['img_per_s']} img/s")
                     continue
-                r = run_point(bb, size, batch)
+                r = run_point(bb, size, batch, timeout=args.timeout)
                 if r is None:
                     continue
                 table[key] = {"img_per_s": r["img_per_s"],
