@@ -96,6 +96,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from yolo_nano_tpu.utils.compile_cache import enable as _cc_enable
+    _cc_enable()  # persistent XLA cache: remote-TPU compiles are 1-4 min
+
     from yolo_nano_tpu.models.yolo_nano import (forward_features,
                                                 postprocess_scored, predict,
                                                 scores_from_features)

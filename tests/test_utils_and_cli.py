@@ -169,3 +169,27 @@ def test_benchmark_cli_synthetic(capsys):
             if ln.startswith("{") and "img/s" in ln][-1]
     rec = json.loads(line)
     assert rec["value"] > 0 and rec["p50_batch_ms"] > 0
+
+
+def test_compile_cache_cpu_gating(tmp_path, monkeypatch):
+    """enable() is a no-op on the CPU backend (XLA:CPU AOT cache hits log
+    spurious machine-feature errors), is forced on by YNT_COMPILE_CACHE=<dir>,
+    and is forced off by YNT_COMPILE_CACHE=0."""
+    from yolo_nano_tpu.utils.compile_cache import enable
+
+    monkeypatch.delenv("YNT_COMPILE_CACHE", raising=False)
+    assert jax.default_backend() == "cpu"
+    assert enable() is None
+
+    d = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("YNT_COMPILE_CACHE", d)
+    try:
+        assert enable() == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    monkeypatch.setenv("YNT_COMPILE_CACHE", "0")
+    assert enable() is None
+    assert jax.config.jax_compilation_cache_dir is None

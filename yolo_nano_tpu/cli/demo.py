@@ -50,6 +50,8 @@ def _detect_frame(frame_bgr, predict_fn, img_size, names, vis_thresh):
 
 def main(argv=None):
     args = parse_args(argv)
+    from yolo_nano_tpu.utils.compile_cache import enable as _cc_enable
+    _cc_enable()  # persistent XLA cache: remote-TPU compiles are 1-4 min
     import cv2
 
     from yolo_nano_tpu.cli.common import (

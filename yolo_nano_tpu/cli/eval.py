@@ -73,6 +73,8 @@ def load_weights(weight_dir: str, cfg, use_ema: bool):
 
 def main(argv=None):
     args = parse_args(argv)
+    from yolo_nano_tpu.utils.compile_cache import enable as _cc_enable
+    _cc_enable()  # persistent XLA cache: remote-TPU compiles are 1-4 min
     from yolo_nano_tpu.cli.common import build_config, make_predict_fn
     from yolo_nano_tpu.evaluation.evaluator import COCOEvaluator, VOCEvaluator
 

@@ -86,6 +86,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from yolo_nano_tpu.utils.compile_cache import enable as _cc_enable
+    _cc_enable()  # persistent XLA cache: remote-TPU compiles are 1-4 min
     import jax
     import jax.numpy as jnp
 
