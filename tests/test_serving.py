@@ -138,3 +138,34 @@ def test_batch_buckets_mesh_divisibility_checked(trained_ckpt, tmp_path):
                    np.float32)
     outs = p(x)
     assert outs[0].shape[0] == 3
+
+
+def test_optimal_batch_and_default_buckets(tmp_path):
+    """Autotune-table lookup: exact size, nearest-size snap, unswept-backbone
+    and missing-table fallbacks, and the bucket ladder topped by the optimum."""
+    import json
+
+    from yolo_nano_tpu.serving import default_buckets, optimal_batch
+
+    table = {"best": {"1.0x/320": {"batch": 128, "img_per_s": 12000.0},
+                      "1.0x/608": {"batch": 64, "img_per_s": 3000.0}}}
+    path = str(tmp_path / "table.json")
+    with open(path, "w") as f:
+        json.dump(table, f)
+
+    assert optimal_batch(320, table_path=path) == 128
+    assert optimal_batch(608, table_path=path) == 64
+    # nearest swept resolution wins for unswept sizes
+    assert optimal_batch(352, table_path=path) == 128
+    assert optimal_batch(640, table_path=path) == 64
+    # unswept backbone / missing table → default
+    assert optimal_batch(320, backbone="2.0x", table_path=path) == 128
+    assert optimal_batch(320, table_path=str(tmp_path / "nope.json"),
+                         default=42) == 42
+
+    assert default_buckets(320, table_path=path) == (1, 8, 32, 128)
+    assert default_buckets(608, table_path=path) == (1, 8, 32, 64)
+
+    # the shipped table (if present) must yield a sane ladder
+    got = default_buckets(416)
+    assert got[-1] >= 32 and all(b >= 1 for b in got)

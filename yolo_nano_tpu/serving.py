@@ -24,15 +24,19 @@ def load_artifact_config(artifact_dir: str, **overrides):
     return YoloNanoConfig(**raw), meta
 
 
+_AUTOTUNE_TABLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "autotune_batch.json")
+
+
 def optimal_batch(img_size: int, backbone: str = "1.0x",
-                  default: int = 128) -> int:
+                  default: int = 128, table_path: str | None = None) -> int:
     """Measured throughput-optimal serving batch for (backbone, resolution),
     from the autotune table tools/autotune_batch.py writes
     (assets/autotune_batch.json). Falls back to `default` when the shape was
     never swept (128 — the measured 416 optimum, docs/DESIGN.md §7.1).
-    Unknown sizes use the nearest swept resolution."""
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "assets", "autotune_batch.json")
+    Unknown sizes use the nearest swept resolution. `table_path` points at a
+    deployment-specific table (e.g. re-swept on different TPU hardware)."""
+    path = table_path or _AUTOTUNE_TABLE
     if not os.path.exists(path):
         return default
     with open(path) as f:
@@ -45,11 +49,12 @@ def optimal_batch(img_size: int, backbone: str = "1.0x",
     return int(best[f"{backbone}/{nearest}"]["batch"])
 
 
-def default_buckets(img_size: int, backbone: str = "1.0x"):
+def default_buckets(img_size: int, backbone: str = "1.0x",
+                    table_path: str | None = None):
     """Batch-bucket ladder for ragged serving traffic, topped by the
     autotuned optimum: small buckets bound padding waste for light traffic,
     the top bucket maximizes throughput for bulk traffic."""
-    top = optimal_batch(img_size, backbone)
+    top = optimal_batch(img_size, backbone, table_path=table_path)
     ladder = [b for b in (1, 8, 32) if b < top]
     return tuple(ladder + [top])
 
