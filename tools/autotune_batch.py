@@ -96,7 +96,13 @@ def _write(path, points):
         json.dump({"points": points, "best": best,
                    "protocol": "tools/bench_point.py one-compile-per-"
                                "process, host-fetch bracketed, min of 3×30 "
-                               "iter windows"}, f, indent=1, sort_keys=True)
+                               "iter windows, idle machine. Shipped 1.0x "
+                               "grid measured at the eval budget "
+                               "(pre_topk 512); bench_point now measures "
+                               "at the serving budget (128), which is "
+                               "~6% faster at 416/b128 and does not "
+                               "change the batch ordering"},
+                  f, indent=1, sort_keys=True)
 
 
 def _report(points):

@@ -6,9 +6,12 @@
 Single compile per process (the remote-compile worker is crash-prone on
 repeated large compiles — verify skill notes); the README/DESIGN throughput
 tables are reproduced by running one point per invocation. Uses the trained
-bench artifact (assets/bench_coco416) when the backbone is 1.0x, random init
-otherwise; timing is host-fetch-bracketed (block_until_ready alone lies on
-tunneled platforms).
+bench artifact for the backbone when one ships (1.0x: assets/bench_coco416,
+0.5x: assets/bench_coco416_05x), random init otherwise; timing is
+host-fetch-bracketed (block_until_ready alone lies on tunneled platforms).
+Measures at the SERVING operating point (conf 0.1, nms_pre_topk 128 —
+DESIGN §9); points must run on an otherwise-idle machine (a concurrent
+pytest run once inflated a point 2.3×).
 """
 
 import json
@@ -37,8 +40,13 @@ def main(argv=None):
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
     overrides = dict(conf_thresh=0.1, nms_thresh=0.45,
-                     compute_dtype="bfloat16")
-    if backbone == "1.0x":
+                     compute_dtype="bfloat16", nms_pre_topk=128)
+    artifact = {"1.0x": "assets/bench_coco416",
+                "0.5x": "assets/bench_coco416_05x"}.get(backbone)
+    if artifact and os.path.isdir(artifact):
+        import bench
+        bench.ARTIFACT = os.path.abspath(artifact)  # per-backbone artifact;
+        # its config.json carries the matching backbone/anchors
         folded, fstats, cfg, kind = load_model(overrides)
     else:
         cfg = YoloNanoConfig(num_classes=80, backbone=backbone,

@@ -3,7 +3,11 @@ plus wall-clock throughput/latency over COCO-val images (synthetic fallback
 when no dataset is present), conv-BN fused, decode+NMS included.
 
     python -m yolo_nano_tpu.cli.benchmark --root /data/COCO --img_size 416 \
-        [--weight ckpt] [--batch_size 64] [--no_fuse]
+        [--weight ckpt] [--batch_size N] [--no_fuse]
+
+Defaults are the measured serving operating point: batch from the autotune
+table (assets/autotune_batch.json via serving.optimal_batch — 128 at every
+swept resolution) and the serving NMS budget (--pre_topk 128, DESIGN §9).
 
 Timing protocol notes (vs reference benchmark.py:62-82): the reference times
 single images with cuda-sync brackets; here batches are timed with a host
@@ -25,7 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--root", default=None, help="COCO root (optional)")
     p.add_argument("--weight", default=None)
     p.add_argument("--img_size", default=416, type=int)
-    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--batch_size", default=None, type=int,
+                   help="default: the autotuned throughput optimum for "
+                        "(backbone, img_size) from assets/autotune_batch"
+                        ".json (serving.optimal_batch), else 128")
     p.add_argument("--iters", default=30, type=int)
     p.add_argument("--conf_thresh", default=0.1, type=float)
     p.add_argument("--nms_thresh", default=0.45, type=float)
@@ -49,6 +56,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.batch_size is None:
+        from yolo_nano_tpu.serving import optimal_batch
+
+        args.batch_size = optimal_batch(args.img_size, args.backbone)
     from yolo_nano_tpu.utils.compile_cache import enable as _cc_enable
     _cc_enable()  # persistent XLA cache: remote-TPU compiles are 1-4 min
     import jax
