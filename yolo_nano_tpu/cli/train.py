@@ -75,6 +75,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 activations (params/BN stats/losses stay "
                         "f32; MXU accumulates f32 natively)")
+    p.add_argument("--device_augment", action="store_true", default=False,
+                   help="run the SSD augmentation chain INSIDE the jitted "
+                        "train step (data/device_aug.py): host workers only "
+                        "decode + uint8-letterbox, so small hosts stop being "
+                        "the training bottleneck (DESIGN §8.2)")
     p.add_argument("--tfboard", action="store_true", default=False,
                    help="also log losses to TensorBoard (reference "
                         "train.py:150-157 capability)")
@@ -128,6 +133,8 @@ def main(argv=None):
     # mosaic merges 4 images' ground truth — scale the padding budget so
     # crowded mosaics don't silently truncate boxes
     max_boxes = args.max_boxes * (4 if args.mosaic else 1)
+    if args.device_augment:
+        dataset.device_augment = True
     if args.cache_images:
         dataset.enable_image_cache()
     loader = DetectionLoader(dataset, args.batch_size,
@@ -183,7 +190,15 @@ def main(argv=None):
 
     def get_step(size: int):
         if size not in steps:
-            steps[size] = make_train_step(cfg, tx, size, mesh=mesh)
+            augment = None
+            if args.device_augment:
+                from yolo_nano_tpu.data.device_aug import make_augment_fn
+
+                augment = make_augment_fn(
+                    size, out_dtype=jnp.bfloat16 if args.bf16
+                    else jnp.float32)
+            steps[size] = make_train_step(cfg, tx, size, mesh=mesh,
+                                          augment=augment)
         return steps[size]
 
     tb_writer = None
@@ -210,6 +225,11 @@ def main(argv=None):
     batch_sh = batch_sharding(mesh) if mesh is not None else None
 
     def host_batches():
+        if args.device_augment:
+            # images stay uint8 (4× less transfer than f32); the augment
+            # casts to the compute dtype on device after normalization
+            yield from loader
+            return
         for images, boxes_, labels_ in loader:
             yield images.astype(in_dtype), boxes_, labels_
 
@@ -223,7 +243,8 @@ def main(argv=None):
         # double-buffered device placement: host augmentation + transfer
         # overlap device compute
         batches = device_prefetch(host_batches(), size=2, sharding=batch_sh)
-        for iter_i, (images, boxes, labels) in enumerate(batches):
+        for iter_i, batch in enumerate(batches):
+            images, boxes, labels = batch[:3]
             if args.profile_steps and not profiling and epoch == 0 \
                     and iter_i == 2:  # skip compile iterations
                 jax.profiler.start_trace(os.path.join(save_dir, "profile"))
@@ -238,7 +259,16 @@ def main(argv=None):
                 train_size = int(rng.integers(lo, hi)) * 32
             step_fn = get_step(train_size if args.multi_scale
                                else args.img_size)
-            state, metrics = step_fn(state, images, boxes, labels)
+            if args.device_augment:
+                # keyed on the GLOBAL iteration so a resumed run draws the
+                # same augmentation stream as an uninterrupted one
+                aug_key = jax.random.fold_in(
+                    jax.random.key(args.seed ^ 0x0DE7A06),
+                    epoch * epoch_size + iter_i)
+                state, metrics = step_fn(state, images, boxes, labels,
+                                         batch[3], aug_key)
+            else:
+                state, metrics = step_fn(state, images, boxes, labels)
             if iter_i % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 lr = float(schedule(int(state.step)))

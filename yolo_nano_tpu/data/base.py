@@ -32,6 +32,11 @@ class DetectionDatasetBase:
     mosaic: bool
     augment: bool
     _img_cache = None  # index → (img, target, h, w)
+    # device_augment=True switches pull_item to the in-graph augmentation
+    # contract (data/device_aug.py): host work shrinks to decode + uint8
+    # letterbox; photometric/crop/mirror/normalize run inside the jitted
+    # train step. pull_item then returns (canvas_u8, target, region).
+    device_augment: bool = False
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -62,6 +67,8 @@ class DetectionDatasetBase:
         Mosaic with p=0.5 when enabled (reference voc.py:216); val mode remaps
         boxes into the letterboxed frame."""
         rng = rng or np.random.default_rng()
+        if self.device_augment:
+            return self._pull_item_device(index, rng)
         if self.mosaic and rng.integers(2):
             others = rng.choice(len(self.ids), size=3, replace=False)
             img, target = load_mosaic(self._load_for_mosaic,
@@ -78,3 +85,35 @@ class DetectionDatasetBase:
             img, target[:, :4], target[:, 4], self.img_size, rng)
         out = np.concatenate([boxes, labels[:, None]], 1).astype(np.float32)
         return img, out, h, w, scale, offset
+
+    def _pull_item_device(self, index: int, rng: np.random.Generator):
+        """(canvas uint8 BGR [S0,S0,3], target [M,5] canvas-normalized,
+        region [5] = image-region rect + crop_allowed). Host cost: decode +
+        one uint8 letterbox (+ geometric mosaic composition); everything
+        else moves into the train step (data/device_aug.py)."""
+        import cv2
+
+        from yolo_nano_tpu.data.transforms import resize_letterbox
+
+        if self.mosaic and rng.integers(2):
+            others = rng.choice(len(self.ids), size=3, replace=False)
+            img, target = load_mosaic(self._load_for_mosaic,
+                                      [index, *others.tolist()],
+                                      self.img_size, rng)
+            # 2S mosaic canvas → S0 base (the host color_transform resize,
+            # transforms.py:424-441); boxes are already canvas-normalized.
+            canvas = cv2.resize(img, (self.img_size, self.img_size))
+            # crop_allowed=0: the reference's mosaic branch is crop-free
+            # (ColorTransforms, data/voc.py:216-222)
+            region = np.array([0.0, 0.0, 1.0, 1.0, 0.0], np.float32)
+            return canvas, target.astype(np.float32), region
+        img, target, _, _ = self._load(index)
+        if len(target) == 0:
+            target = np.zeros((1, 5), np.float32)  # reference voc.py:226-227
+        canvas, boxes, scale, offset = resize_letterbox(
+            img, self.img_size, target[:, :4], dtype=np.uint8)
+        out = np.concatenate([boxes, target[:, 4:5]], 1).astype(np.float32)
+        region = np.array([offset[0], offset[1], offset[0] + scale[0],
+                           offset[1] + scale[1],
+                           1.0 if self.augment else 0.0], np.float32)
+        return canvas, out, region

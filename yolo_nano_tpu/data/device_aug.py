@@ -1,0 +1,331 @@
+"""In-graph (on-device) training augmentation: the full SSD chain as batched
+XLA ops inside the jitted train step.
+
+Motivation (DESIGN §8): the device consumes 289–460 img/s/chip while the
+host augmentation chain delivers ~30 img/s/core — on small hosts training is
+host-bound. The torch reference cannot move augmentation off the host (its
+chain is cv2/numpy per image, reference data/transforms.py:402-420); here the
+same chain — photometric distort, min-IoU SSD crop, mirror, letterbox,
+normalize — is re-designed as fixed-shape batched tensor ops, so host workers
+only decode + letterbox to a fixed base canvas and ship **uint8** (4× less
+host→device traffic than f32). Augmentation then costs device-side elementwise
+work that is negligible next to the conv stack.
+
+Distribution parity with the host chain (data/transforms.py):
+  * photometric: identical op order, coin flips and factor ranges
+    (brightness ±32 p=.5; contrast ×U(.5,1.5) p=.5 before/after HSV with a
+    p=.5 order coin; saturation ×U(.5,1.5) p=.5; hue ±18° p=.5 — reference
+    transforms.py:144-226,369-391). HSV round trip matches cv2's float32
+    full-range convention (H∈[0,360), S∈[0,1], V∈[0,255]); like the
+    reference, values are NOT clipped back to [0,255].
+  * SSD crop: rects are sampled inside the *image region* of the base
+    canvas. The letterbox is an aspect-preserving uniform scale, so uniform
+    sampling in region coordinates is distribution-identical to the
+    reference's sampling in native pixels, and IoUs/aspect ratios are
+    invariant under the map. The accept condition is the reference's
+    byte-for-byte (`overlap.min() < min_iou and max_iou < overlap.max()` →
+    reject; ≥1 box center strictly inside; h/w ∈ (0.5, 2)); the unbounded
+    retry loop becomes a fixed R×T candidate grid scanned in order
+    (R=16 mode rounds × T=32 trials; the host fallback-to-identity tail
+    probability is (5/6)^50≈1e-4, ours ≤(5/6)^16≈5%, only reached on
+    images where nearly all crops are rejected).
+  * known deviations (documented, all sub-pixel or resampling-level): crop
+    rect coords are float (host truncates to int pixels); the output
+    letterbox centers with float precision (host uses integer //2); pixels
+    pass through TWO bilinear resamples (native→base canvas on host,
+    canvas→output on device) where the host chain has one.
+
+Everything is fixed-shape: images [B,S0,S0,3] uint8 BGR in, [B,S,S,3]
+compute-dtype RGB out; boxes stay [B,M,4] with label −1 marking dropped
+rows. RNG is `jax.random` keyed per (step, item).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# BGR-ordered, matching data/transforms.py:31-32 (reference transforms.py:403)
+_MEAN = (0.406, 0.456, 0.485)
+_STD = (0.225, 0.224, 0.229)
+
+# SSD crop modes (reference transforms.py:244-253): min_iou per mode; mode 0
+# is the no-crop exit; max_iou is +inf for every mode the reference ships.
+_MODE_MIN_IOU = (-jnp.inf, 0.1, 0.3, 0.7, 0.9, -jnp.inf)
+_MODE_MAX_IOU = (jnp.inf,) * 6
+
+
+# ---------------------------------------------------------------------------
+# HSV round trip — cv2 float32 full-range convention
+# ---------------------------------------------------------------------------
+
+def bgr_to_hsv(img):
+    """[..., 3] float BGR (0..255) → HSV with H∈[0,360), S∈[0,1], V∈[0,255]
+    (cv2.cvtColor float32 convention)."""
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = v - mn
+    safe_c = jnp.where(c > 0, c, 1.0)
+    h = jnp.where(
+        v == r, 60.0 * (g - b) / safe_c,
+        jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe_c,
+                  240.0 + 60.0 * (r - g) / safe_c))
+    h = jnp.where(c > 0, h, 0.0)
+    h = jnp.where(h < 0, h + 360.0, h)
+    s = jnp.where(v > 0, c / jnp.where(v > 0, v, 1.0), 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_bgr(hsv):
+    """Inverse of bgr_to_hsv; defined (like cv2) for S outside [0,1] — the
+    saturation jitter can push S to 1.5 and the reference never clips."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    hp = h / 60.0
+    i = jnp.floor(hp).astype(jnp.int32) % 6
+    f = hp - jnp.floor(hp)
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    # sector table: r,g,b per i ∈ 0..5
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return jnp.stack([b, g, r], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# photometric distort (reference transforms.py:369-391)
+# ---------------------------------------------------------------------------
+
+def photometric_distort(img, d):
+    """img: [S0,S0,3] f32 BGR 0..255. d: this item's draw dict (see
+    sample_draws). Brightness, then contrast either before or after the HSV
+    saturation/hue pair — exactly the host chain's coin structure."""
+    img = img + jnp.where(d["bri_coin"], d["bri_delta"], 0.0)
+
+    def contrast(x):
+        return x * jnp.where(d["con_coin"], d["con_f"], 1.0)
+
+    img = jnp.where(d["order_coin"], contrast(img), img)
+    hsv = bgr_to_hsv(img)
+    s = hsv[..., 1] * jnp.where(d["sat_coin"], d["sat_f"], 1.0)
+    h = hsv[..., 0] + jnp.where(d["hue_coin"], d["hue_delta"], 0.0)
+    h = jnp.where(h > 360.0, h - 360.0, h)
+    h = jnp.where(h < 0.0, h + 360.0, h)
+    img = hsv_to_bgr(jnp.stack([h, s, hsv[..., 2]], axis=-1))
+    img = jnp.where(d["order_coin"], img, contrast(img))
+    return img
+
+
+# ---------------------------------------------------------------------------
+# SSD min-IoU crop sampling (reference transforms.py:228-330)
+# ---------------------------------------------------------------------------
+
+def sample_crop(d, boxes, labels, region, base_size):
+    """Pick the crop rect for one item.
+
+    d: draw dict with fields mode [R] int, u_w/u_h/u_l/u_t [R,T] uniforms.
+    boxes [M,4] normalized canvas coords, labels [M] (−1 pad), region [4]
+    normalized (the canvas area covered by real image). Returns
+    (rect [4] canvas-normalized, identity bool): identity means "no crop" —
+    the caller letterboxes the full region.
+    """
+    valid = labels >= 0                                     # [M]
+    rw = region[2] - region[0]
+    rh = region[3] - region[1]
+    # candidate rects, normalized canvas coords ([R,T])
+    w = (0.3 + 0.7 * d["u_w"]) * rw
+    h = (0.3 + 0.7 * d["u_h"]) * rh
+    left = region[0] + d["u_l"] * (rw - w)
+    top = region[1] + d["u_t"] * (rh - h)
+    rect = jnp.stack([left, top, left + w, top + h], axis=-1)   # [R,T,4]
+    # aspect in native pixels == aspect in canvas pixels (uniform scale)
+    ratio = (h * base_size) / (w * base_size)
+    aspect_ok = (ratio >= 0.5) & (ratio <= 2.0)
+    # IoU of every valid box against every candidate
+    bx = boxes[None, None]                                   # [1,1,M,4]
+    rc = rect[:, :, None]                                    # [R,T,1,4]
+    tl = jnp.maximum(bx[..., :2], rc[..., :2])
+    br = jnp.minimum(bx[..., 2:], rc[..., 2:])
+    inter = jnp.prod(jnp.clip(br - tl, 0.0, None), axis=-1)  # [R,T,M]
+    area_b = jnp.prod(bx[..., 2:] - bx[..., :2], axis=-1)
+    area_r = jnp.prod(rc[..., 2:] - rc[..., :2], axis=-1)
+    union = area_b + area_r - inter
+    iou = inter / jnp.where(union > 0, union, 1.0)
+    omin = jnp.min(jnp.where(valid[None, None], iou, jnp.inf), axis=-1)
+    omax = jnp.max(jnp.where(valid[None, None], iou, -jnp.inf), axis=-1)
+    min_iou = jnp.asarray(_MODE_MIN_IOU)[d["mode"]][:, None]  # [R,1]
+    max_iou = jnp.asarray(_MODE_MAX_IOU)[d["mode"]][:, None]
+    # reference accept condition verbatim (transforms.py:290): reject iff
+    # overlap.min() < min_iou AND max_iou < overlap.max(). max_iou = +inf
+    # for every shipped mode, so with the reference's modes IoU never
+    # rejects (the SSD-legacy `and`-for-`or` quirk the host chain also
+    # keeps, data/transforms.py:18-20) — the table form stays live for
+    # custom modes with finite max_iou.
+    iou_ok = ~((omin < min_iou) & (omax > max_iou))
+    # ≥1 valid box center strictly inside
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    cin = ((rect[:, :, None, 0] < cx) & (rect[:, :, None, 1] < cy)
+           & (rect[:, :, None, 2] > cx) & (rect[:, :, None, 3] > cy))
+    center_ok = jnp.any(cin & valid[None, None], axis=-1)    # [R,T]
+    ok = aspect_ok & iou_ok & center_ok & (d["mode"] != 0)[:, None]
+    # first terminating round: mode-0 exit or any accepted trial
+    round_exit = d["mode"] == 0
+    round_hit = jnp.any(ok, axis=-1)
+    term = round_exit | round_hit                            # [R]
+    any_term = jnp.any(term)
+    r_star = jnp.argmax(term)
+    exit_identity = round_exit[r_star] | ~any_term | (jnp.sum(valid) == 0)
+    t_star = jnp.argmax(ok[r_star])
+    chosen = rect[r_star, t_star]
+    return jnp.where(exit_identity, region, chosen), exit_identity
+
+
+# ---------------------------------------------------------------------------
+# letterbox affine: crop rect of the base canvas → out_size square
+# ---------------------------------------------------------------------------
+
+def _letterbox_params(rect, base_size, out_size):
+    """rect [4] canvas-normalized → (scale [2] yx, translation [2] yx,
+    bounds [4] = output-pixel rect covered by image). Matches host
+    resize_letterbox geometry (aspect-preserving, centered, mean pad) with
+    float centering."""
+    cw = (rect[2] - rect[0]) * base_size
+    ch = (rect[3] - rect[1]) * base_size
+    s = out_size / jnp.maximum(cw, ch)
+    ow = s * cw
+    oh = s * ch
+    ox0 = (out_size - ow) * 0.5
+    oy0 = (out_size - oh) * 0.5
+    # scale_and_translate convention (verified vs cv2.resize):
+    # x_in = (x_out + 0.5 - t) / s − 0.5  ⇒  t = ox0 − s·x0
+    tx = ox0 - s * rect[0] * base_size
+    ty = oy0 - s * rect[1] * base_size
+    return (jnp.stack([s, s]), jnp.stack([ty, tx]),
+            jnp.stack([ox0, oy0, ox0 + ow, oy0 + oh]))
+
+
+def crop_letterbox_image(img, rect, out_size, pad_bgr):
+    """img [S0,S0,3] f32 → [S,S,3] f32: the rect region letterboxed into the
+    output square, mean-filled outside."""
+    base_size = img.shape[0]
+    scale, trans, bounds = _letterbox_params(rect, base_size, out_size)
+    out = jax.image.scale_and_translate(
+        img, (out_size, out_size, img.shape[2]), (0, 1), scale, trans,
+        "linear", antialias=False)
+    xs = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    inside = ((xs[None, :] > bounds[0]) & (xs[None, :] < bounds[2])
+              & (xs[:, None] > bounds[1]) & (xs[:, None] < bounds[3]))
+    return jnp.where(inside[..., None], out, pad_bgr)
+
+
+def crop_letterbox_boxes(boxes, labels, rect, identity):
+    """Map normalized canvas boxes through the crop+letterbox; drop (label→−1)
+    boxes whose center is outside the crop (host rule; identity keeps all).
+    Output coords are normalized to the output square, so the mapping is
+    x' = x·sc + t with sc = 1/max(rect_w, rect_h) and t centering the crop —
+    the box-space twin of _letterbox_params."""
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    cin = ((rect[0] < cx) & (rect[1] < cy) & (rect[2] > cx) & (rect[3] > cy))
+    keep = (labels >= 0) & (identity | cin)
+    clipped = jnp.concatenate([
+        jnp.maximum(boxes[:, :2], rect[:2]), jnp.minimum(boxes[:, 2:],
+                                                         rect[2:])], axis=1)
+    rw = rect[2] - rect[0]
+    rh = rect[3] - rect[1]
+    sc = 1.0 / jnp.maximum(rw, rh)
+    t = jnp.stack([(1.0 - rw * sc) * 0.5 - rect[0] * sc,
+                   (1.0 - rh * sc) * 0.5 - rect[1] * sc])
+    mapped = clipped * sc + jnp.concatenate([t, t])
+    new_boxes = jnp.where(keep[:, None], mapped, 0.0)
+    new_labels = jnp.where(keep, labels, -1)
+    return new_boxes.astype(boxes.dtype), new_labels
+
+
+# ---------------------------------------------------------------------------
+# draws + the batched pipeline
+# ---------------------------------------------------------------------------
+
+def sample_draws(key, batch: int, rounds: int = 16, trials: int = 32):
+    """All randomness for one batch, as a dict of arrays with leading dim B.
+    Separated from apply_augment so tests can inject handcrafted draws."""
+    ks = jax.random.split(key, 15)
+    u = functools.partial(jax.random.uniform, shape=(batch,))
+    coin = lambda k: jax.random.bernoulli(k, 0.5, (batch,))  # noqa: E731
+    return {
+        "bri_coin": coin(ks[0]),
+        "bri_delta": u(ks[1], minval=-32.0, maxval=32.0),
+        "order_coin": coin(ks[2]),
+        "con_coin": coin(ks[3]),
+        "con_f": u(ks[4], minval=0.5, maxval=1.5),
+        "sat_coin": coin(ks[5]),
+        "sat_f": u(ks[6], minval=0.5, maxval=1.5),
+        "hue_coin": coin(ks[7]),
+        "hue_delta": u(ks[8], minval=-18.0, maxval=18.0),
+        "mode": jax.random.randint(ks[9], (batch, rounds), 0, 6),
+        "u_w": jax.random.uniform(ks[10], (batch, rounds, trials)),
+        "u_h": jax.random.uniform(ks[11], (batch, rounds, trials)),
+        "u_l": jax.random.uniform(ks[12], (batch, rounds, trials)),
+        "u_t": jax.random.uniform(ks[13], (batch, rounds, trials)),
+        "mirror": coin(ks[14]),
+    }
+
+
+def apply_augment(images_u8, boxes, labels, regions, draws, out_size: int,
+                  out_dtype=jnp.float32):
+    """The pure batched pipeline (all randomness pre-drawn).
+
+    images_u8 [B,S0,S0,3] uint8 BGR base canvases; boxes [B,M,4] normalized
+    canvas coords; labels [B,M] int32 (−1 pad); regions [B,5] = normalized
+    image-region rect + crop_allowed flag (0 for mosaic items — the
+    reference's mosaic branch uses the crop-free ColorTransforms chain,
+    data/voc.py:216-222). Returns (images [B,S,S,3] out_dtype RGB
+    normalized, boxes [B,M,4], labels [B,M]).
+    """
+    base_size = images_u8.shape[1]
+    pad_bgr = jnp.asarray(_MEAN, jnp.float32) * 255.0
+
+    def one(img_u8, bx, lb, reg, d):
+        img = photometric_distort(img_u8.astype(jnp.float32), d)
+        rect, identity = sample_crop(d, bx, lb, reg[:4], base_size)
+        identity = identity | (reg[4] == 0)
+        rect = jnp.where(reg[4] == 0, reg[:4], rect)
+        out = crop_letterbox_image(img, rect, out_size, pad_bgr)
+        nb, nl = crop_letterbox_boxes(bx, lb, rect, identity)
+        # mirror (reference transforms.py:333-340)
+        out = jnp.where(d["mirror"], out[:, ::-1], out)
+        flipped = jnp.concatenate(
+            [1.0 - nb[:, 2:3], nb[:, 1:2], 1.0 - nb[:, 0:1], nb[:, 3:4]],
+            axis=1)
+        nb = jnp.where(d["mirror"], jnp.where((nl >= 0)[:, None], flipped,
+                                              0.0), nb)
+        return out, nb, nl
+
+    imgs, nboxes, nlabels = jax.vmap(one)(images_u8, boxes, labels, regions,
+                                          draws)
+    # normalize in BGR then flip to RGB (host _normalize_to_rgb,
+    # reference transforms.py:59-70,394-398)
+    mean = jnp.asarray(_MEAN, jnp.float32)
+    std = jnp.asarray(_STD, jnp.float32)
+    imgs = (imgs / 255.0 - mean) / std
+    imgs = imgs[..., ::-1]
+    return imgs.astype(out_dtype), nboxes, nlabels
+
+
+def make_augment_fn(out_size: int, rounds: int = 16, trials: int = 32,
+                    out_dtype=jnp.float32):
+    """→ augment(images_u8, boxes, labels, regions, key) for composition into
+    the train step (train.train_step.make_train_step(augment=...))."""
+
+    def augment(images_u8, boxes, labels, regions, key):
+        draws = sample_draws(key, images_u8.shape[0], rounds, trials)
+        return apply_augment(images_u8, boxes, labels, regions, draws,
+                             out_size, out_dtype)
+
+    return augment

@@ -44,8 +44,11 @@ def _pp_init(dataset):
 def _pp_load(args):
     index, seed_key = args
     rng = np.random.default_rng(seed_key)
-    img, target, *_ = _PP_DATASET.pull_item(index, rng)
-    return img, target
+    item = _PP_DATASET.pull_item(index, rng)
+    # device-augment datasets return (canvas_u8, target, region); host-
+    # augment ones (img, target, h, w, scale, offset) — keep the first 3
+    return item[:3] if getattr(_PP_DATASET, "device_augment", False) \
+        else item[:2]
 
 
 def pad_targets(targets: List[np.ndarray], max_boxes: int
@@ -186,10 +189,12 @@ class DetectionLoader:
             # identical per-item RNG streams in thread and process modes
             return [self.seed, epoch, pos]
 
+        device_mode = getattr(self.dataset, "device_augment", False)
+
         def load_one(pos: int):
             rng = np.random.default_rng(seed_key(pos))
-            img, target, *_ = self.dataset.pull_item(int(order[pos]), rng)
-            return img, target
+            item = self.dataset.pull_item(int(order[pos]), rng)
+            return item[:3] if device_mode else item[:2]
 
         def map_batch(pool, lo: int, hi: int):
             if self.worker_mode == "process":
@@ -237,7 +242,15 @@ class DetectionLoader:
                         images = np.stack([it[0] for it in items])
                         boxes, labels = pad_targets([it[1] for it in items],
                                                     self.max_boxes)
-                        if not _put((images, boxes, labels)):
+                        if device_mode:
+                            # in-graph augmentation: images are uint8 base
+                            # canvases; regions [B,5] carry the image-region
+                            # rect + crop_allowed (data/device_aug.py)
+                            regions = np.stack([it[2] for it in items])
+                            batch = (images, boxes, labels, regions)
+                        else:
+                            batch = (images, boxes, labels)
+                        if not _put(batch):
                             return
             except BaseException as e:  # surface worker errors, don't hang
                 _put(e)

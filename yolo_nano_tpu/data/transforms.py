@@ -148,7 +148,8 @@ def random_mirror(img, boxes, rng):
     return img, boxes
 
 
-def resize_letterbox(img, size: int, boxes: Optional[np.ndarray] = None
+def resize_letterbox(img, size: int, boxes: Optional[np.ndarray] = None,
+                     dtype=np.float32
                      ) -> Tuple[np.ndarray, Optional[np.ndarray],
                                 np.ndarray, np.ndarray]:
     """Aspect-preserving resize + centered mean-value pad to (size, size)
@@ -156,33 +157,33 @@ def resize_letterbox(img, size: int, boxes: Optional[np.ndarray] = None
 
     boxes (if given) are percent coords and are remapped into the padded
     frame. Returns (img, boxes, scale[4], offset[4]) with
-    boxes_out = boxes_in · scale + offset.
+    boxes_out = boxes_in · scale + offset. dtype=np.uint8 keeps the canvas
+    uint8 (the device-augmentation base canvas, data/device_aug.py — 4×
+    less host→device traffic than f32).
     """
     h0, w0 = img.shape[:2]
-    pad_value = IMAGE_MEAN * 255.0
+    pad_value = (IMAGE_MEAN * 255.0).astype(dtype)
     if h0 > w0:
         r = w0 / h0
-        resized = cv2.resize(img, (max(int(r * size), 1), size)).astype(
-            np.float32)
+        resized = cv2.resize(img, (max(int(r * size), 1), size)).astype(dtype)
         h, w = resized.shape[:2]
-        canvas = np.ones((h, h, 3), np.float32) * pad_value
+        canvas = np.ones((h, h, 3), dtype) * pad_value
         left = (h - w) // 2
         canvas[:, left:left + w] = resized
         offset = np.array([left / h, 0.0, left / h, 0.0], np.float32)
         scale = np.array([w / h, 1.0, w / h, 1.0], np.float32)
     elif h0 < w0:
         r = h0 / w0
-        resized = cv2.resize(img, (size, max(int(r * size), 1))).astype(
-            np.float32)
+        resized = cv2.resize(img, (size, max(int(r * size), 1))).astype(dtype)
         h, w = resized.shape[:2]
-        canvas = np.ones((w, w, 3), np.float32) * pad_value
+        canvas = np.ones((w, w, 3), dtype) * pad_value
         top = (w - h) // 2
         canvas[top:top + h, :] = resized
         offset = np.array([0.0, top / w, 0.0, top / w], np.float32)
         scale = np.array([1.0, h / w, 1.0, h / w], np.float32)
     else:
-        canvas = (img.astype(np.float32) if h0 == size
-                  else cv2.resize(img, (size, size)).astype(np.float32))
+        canvas = (img.astype(dtype) if h0 == size
+                  else cv2.resize(img, (size, size)).astype(dtype))
         offset = np.zeros(4, np.float32)
         scale = np.ones(4, np.float32)
     if boxes is not None:

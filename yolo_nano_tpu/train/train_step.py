@@ -28,7 +28,8 @@ from yolo_nano_tpu.train.state import TrainState, ema_decay, ema_update
 
 
 def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
-                    input_size: int, mesh=None, donate: bool = True):
+                    input_size: int, mesh=None, donate: bool = True,
+                    augment=None):
     """Builds train_step(state, images, gt_boxes, gt_labels) → (state, metrics).
 
     images: [B, S, S, 3] float32/bf16 NHWC, already normalized.
@@ -36,9 +37,16 @@ def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
     One compiled graph per (input_size, batch) bucket — multi-scale training
     re-calls this factory per bucket (reference re-caches grids via set_grid,
     train.py:202-205).
+
+    augment: optional in-graph augmentation fn from
+    data.device_aug.make_augment_fn(input_size) — the signature then becomes
+    train_step(state, images_u8, gt_boxes, gt_labels, regions, aug_key) with
+    uint8 base canvases in; the whole SSD chain fuses into this XLA program
+    (photometric/crop/mirror/normalize AND the multi-scale resize, since the
+    augment emits input_size directly).
     """
 
-    def train_step(state: TrainState, images, gt_boxes, gt_labels):
+    def body(state: TrainState, images, gt_boxes, gt_labels):
         if images.shape[1] != input_size:
             # multi-scale training: batch arrives at the loader's base size and
             # is resized on device (the reference interpolates the torch batch
@@ -92,6 +100,17 @@ def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
                                new_step, new_ema_p, new_ema_s)
         return new_state, metrics
 
+    if augment is None:
+        train_step = body
+        n_data_args = 3
+    else:
+        def train_step(state: TrainState, images_u8, gt_boxes, gt_labels,
+                       regions, aug_key):
+            images, gt_boxes, gt_labels = augment(
+                images_u8, gt_boxes, gt_labels, regions, aug_key)
+            return body(state, images, gt_boxes, gt_labels)
+        n_data_args = 4  # + the replicated aug_key
+
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -100,9 +119,9 @@ def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
         # batch: sharded over ALL mesh axes — ("data",) on one slice,
         # ("dcn","data") across slices
         data = NamedSharding(mesh, P(mesh.axis_names))
-        kwargs = dict(
-            in_shardings=(repl, data, data, data),
-            out_shardings=(repl, repl),
-        )
+        in_sh = (repl,) + (data,) * n_data_args
+        if augment is not None:
+            in_sh = in_sh + (repl,)  # aug_key
+        kwargs = dict(in_shardings=in_sh, out_shardings=(repl, repl))
     return jax.jit(train_step,
                    donate_argnums=(0,) if donate else (), **kwargs)
