@@ -183,6 +183,56 @@ def test_sampled_crops_satisfy_reference_constraints():
     assert 1 <= n_identity <= 40
 
 
+def test_crop_distribution_matches_host_sampler():
+    """Statistical head-to-head against the HOST chain's numpy sampler
+    (data/transforms.py::random_sample_crop) on identical ground truth:
+    identity rate, mean normalized crop area, and kept-box rate must agree.
+    The samplers share structure (mode rounds × trials, same accept rules) —
+    only trial counts and RNG differ, so rates match within sampling noise."""
+    from yolo_nano_tpu.data.transforms import random_sample_crop
+
+    n = 300
+    W = H = 320
+    img = np.zeros((H, W, 3), np.float32)
+    abs_boxes = np.asarray([[40, 60, 140, 180], [180, 200, 290, 300]],
+                           np.float32)
+    labels_np = np.asarray([1, 2], np.int64)
+    h_ident = h_area = h_kept = 0.0
+    for seed in range(n):
+        rng = np.random.default_rng(seed)
+        out, ob, ol = random_sample_crop(img, abs_boxes, labels_np, rng)
+        if out.shape == img.shape:
+            h_ident += 1
+            h_area += 1.0
+            h_kept += 2
+        else:
+            h_area += out.shape[0] * out.shape[1] / (H * W)
+            h_kept += len(ol)
+    boxes = jnp.asarray(abs_boxes / [W, H, W, H], jnp.float32)
+    labels = jnp.asarray([1, 2], jnp.int32)
+    region = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    d_ident = d_area = d_kept = 0.0
+    crop_j = jax.jit(sample_crop, static_argnums=4)
+    for seed in range(n):
+        d = {k: v[0] for k, v in
+             sample_draws(jax.random.key(seed), 1).items()}
+        rect, identity = crop_j(d, boxes, labels, region, W)
+        rect = np.asarray(rect)
+        if bool(identity):
+            d_ident += 1
+            d_area += 1.0
+            d_kept += 2
+        else:
+            d_area += (rect[2] - rect[0]) * (rect[3] - rect[1])
+            cx = (abs_boxes[:, :2] + abs_boxes[:, 2:]) / 2 / [W, H]
+            inside = ((rect[0] < cx[:, 0]) & (rect[1] < cx[:, 1])
+                      & (rect[2] > cx[:, 0]) & (rect[3] > cx[:, 1]))
+            d_kept += inside.sum()
+    assert abs(h_ident / n - d_ident / n) < 0.12, (h_ident / n, d_ident / n)
+    assert abs(h_area / n - d_area / n) < 0.12, (h_area / n, d_area / n)
+    assert abs(h_kept / n - d_kept / n) < 0.3, (h_kept / n, d_kept / n)
+
+
 def test_no_valid_boxes_forces_identity():
     d = {k: v[0] for k, v in sample_draws(jax.random.key(7), 1).items()}
     region = jnp.asarray([0.0, 0.0, 1.0, 1.0])
