@@ -370,6 +370,31 @@ def test_train_step_augment_on_8_device_mesh():
     assert np.isfinite(float(metrics["loss/total"]))
 
 
+def test_device_mode_canvas_cache_is_transparent(tmp_path):
+    """With the image cache on, the deterministic letterboxed canvases are
+    memoized — batch streams must be byte-identical to the uncached loader."""
+    from tests.helpers import make_synthetic_voc
+    from yolo_nano_tpu.data.loader import DetectionLoader
+    from yolo_nano_tpu.data.voc import VOCDataset
+
+    root, _ = make_synthetic_voc(tmp_path, n_images=6)
+    streams = []
+    for cache in (False, True):
+        ds = VOCDataset(root, img_size=64, image_sets=[("2007", "trainval")],
+                        mosaic=False)
+        ds.device_augment = True
+        if cache:
+            ds.enable_image_cache()
+        loader = DetectionLoader(ds, batch_size=2, num_workers=2, seed=3)
+        batches = [b for _ in range(2) for b in loader]  # 2 epochs
+        streams.append(batches)
+        if cache:
+            assert ds._canvas_cache and len(ds._canvas_cache) == 6
+    for a, b in zip(*streams):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_loader_device_mode_yields_uint8_canvases_and_regions(tmp_path):
     from tests.helpers import make_synthetic_voc
     from yolo_nano_tpu.data.loader import DetectionLoader

@@ -32,6 +32,7 @@ class DetectionDatasetBase:
     mosaic: bool
     augment: bool
     _img_cache = None  # index → (img, target, h, w)
+    _canvas_cache = None  # device_augment: index → (canvas_u8, target, region)
     # device_augment=True switches pull_item to the in-graph augmentation
     # contract (data/device_aug.py): host work shrinks to decode + uint8
     # letterbox; photometric/crop/mirror/normalize run inside the jitted
@@ -107,6 +108,16 @@ class DetectionDatasetBase:
             # (ColorTransforms, data/voc.py:216-222)
             region = np.array([0.0, 0.0, 1.0, 1.0, 0.0], np.float32)
             return canvas, target.astype(np.float32), region
+        # the letterboxed canvas is DETERMINISTIC per index (all randomness
+        # lives on device), so with the image cache enabled we memoize the
+        # finished (canvas, target, region) triple — warm epochs cost only
+        # stack+pad on the host. Read-only downstream (np.stack copies).
+        if self._img_cache is not None:
+            if self._canvas_cache is None:
+                self._canvas_cache = {}
+            hit = self._canvas_cache.get(index)
+            if hit is not None:
+                return hit
         img, target, _, _ = self._load(index)
         if len(target) == 0:
             target = np.zeros((1, 5), np.float32)  # reference voc.py:226-227
@@ -116,4 +127,6 @@ class DetectionDatasetBase:
         region = np.array([offset[0], offset[1], offset[0] + scale[0],
                            offset[1] + scale[1],
                            1.0 if self.augment else 0.0], np.float32)
+        if self._img_cache is not None:
+            self._canvas_cache[index] = (canvas, out, region)
         return canvas, out, region
