@@ -69,7 +69,9 @@ def pad_targets(targets: List[np.ndarray], max_boxes: int
 
 
 class DetectionLoader:
-    """Iterable over epochs of (images [B,S,S,3] f32 NHWC, boxes, labels)."""
+    """Iterable over epochs of (images [B,S,S,3] f32 NHWC, boxes, labels) —
+    or, for a dataset with device_augment=True, (images uint8, boxes,
+    labels, regions [B,5]) feeding the in-graph chain (data/device_aug.py)."""
 
     def __init__(self, dataset, batch_size: int, max_boxes: int =
                  MAX_BOXES_DEFAULT, shuffle: bool = True,
