@@ -288,6 +288,10 @@ def apply_augment(images_u8, boxes, labels, regions, draws, out_size: int,
     data/voc.py:216-222). Returns (images [B,S,S,3] out_dtype RGB
     normalized, boxes [B,M,4], labels [B,M]).
     """
+    if regions.ndim != 2 or regions.shape[-1] != 5:
+        raise ValueError(
+            f"regions must be [B,5] (rect + crop_allowed flag, the loader's "
+            f"device-mode contract), got {regions.shape}")
     base_size = images_u8.shape[1]
     pad_bgr = jnp.asarray(_MEAN, jnp.float32) * 255.0
 
