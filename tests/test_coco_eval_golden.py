@@ -118,6 +118,30 @@ def test_detection_only_category_is_unmeasured_not_zero():
     assert got["AP"] == alone["AP"]
 
 
+def test_equal_iou_gt_tie_breaks_to_later_index():
+    """Two gts tie on IoU for the first detection: the greedy scan's
+    `< best: continue` lets an EQUAL IoU update the match, so the LATER
+    gt index wins the tie (pycocotools semantics; a plain argmax would
+    keep the first and silently free the wrong gt for the next det).
+
+    gt0=[0,0,10,10], gt1=[2,0,10,10]; det0=[1,0,10,10] has IoU 90/110
+    (~0.818) vs BOTH; det1=[2,0,10,10] has IoU 1.0 vs gt1, 80/120
+    (~0.667) vs gt0. Correct (later-index) matching: det0→gt1, then
+    det1 falls back to gt0 — a TP only while 0.667 clears the threshold.
+    First-index matching would instead leave gt1 free and score det1 as
+    a perfect TP through thr 0.80, inflating AP.
+      thr .50-.65 (4): TP,TP → AP 1.0
+      thr .70-.80 (3): TP,FP → envelope 1.0 up to recall .5 → 51/101
+      thr .85-.95 (3): FP,TP → 0.5 up to recall .5 → 25.5/101
+      AP = (4 + 3·51/101 + 3·25.5/101) / 10"""
+    gts = [_gt(1, 1, 1, [0.0, 0.0, 10.0, 10.0]),
+           _gt(2, 1, 1, [2.0, 0.0, 10.0, 10.0])]
+    dts = [_dt(1, 1, [1.0, 0.0, 10.0, 10.0], 0.9),
+           _dt(1, 1, [2.0, 0.0, 10.0, 10.0], 0.8)]
+    _check(gts, dts, [1], [1],
+           {"AP": (4 + 3 * 51 / 101 + 3 * 25.5 / 101) / 10})
+
+
 def test_tie_ordering_across_images_follows_image_id_order():
     """Equal scores on DIFFERENT images: the global mergesort preserves the
     per-image concatenation order (image_ids order). img 1 holds the FP,

@@ -111,9 +111,15 @@ class COCOEval:
                                       d_scores=d_scores, d_area=d_area,
                                       ious=ious))
 
-            for ai, (_, (a_lo, a_hi)) in enumerate(area_items):
-                # match once per (image, iou threshold) for this area range
-                evals = [self._match(pi, a_lo, a_hi) for pi in per_image]
+            # one greedy match per image, vectorized over ALL (area range,
+            # IoU threshold) pairs — the per-detection loop is the only
+            # sequential part of the protocol
+            rngs = [r for _, r in area_items]
+            matches = [self._match_all(pi, rngs) for pi in per_image]
+            for ai in range(a_n):
+                evals = [{"scores": ev["scores"], "tp": ev["tp"][ai],
+                          "ignore": ev["ignore"][ai],
+                          "npig": int(ev["npig"][ai])} for ev in matches]
                 for mi, max_det in enumerate(MAX_DETS):
                     scores, tps, igs, npig = [], [], [], 0
                     for ev in evals:
@@ -139,13 +145,10 @@ class COCOEval:
                         pr = tpi / np.maximum(tpi + fpi, 1e-10)
                         recall[ti, ki, ai, mi] = rc[-1] if nd else 0.0
                         # precision envelope (monotone non-increasing)
-                        for i in range(nd - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         inds = np.searchsorted(rc, REC_THRS, side="left")
-                        q = np.zeros(r_n)
-                        for ri, pi_ in enumerate(inds):
-                            if pi_ < nd:
-                                q[ri] = pr[pi_]
+                        q = np.where(inds < nd, pr[np.minimum(inds, nd - 1)],
+                                     0.0) if nd else np.zeros(r_n)
                         precision[ti, :, ki, ai, mi] = q
 
         def _ap(t=None, area="all", max_det=100):
@@ -179,39 +182,63 @@ class COCOEval:
         return stats
 
     @staticmethod
-    def _match(pi: dict, a_lo: float, a_hi: float) -> dict:
-        """Greedy matching for one (image, category) across all IoU
-        thresholds; returns per-detection tp/ignore and non-ignored gt count."""
+    def _match_all(pi: dict, area_rngs: Sequence[tuple]) -> dict:
+        """Greedy matching for one (image, category), vectorized across ALL
+        (area range, IoU threshold) pairs at once — only the per-detection
+        loop remains (each detection's match depends on which gts earlier,
+        higher-scored detections already claimed).
+
+        Semantics are exactly the reference protocol's greedy scan
+        (pycocotools COCOeval.evaluateImg, the C path behind reference
+        evaluator/cocoapi_evaluator.py:117-121), pinned by the golden
+        fixtures + property tests in tests/test_coco_eval.py:
+          * a detection first looks for the best non-ignored gt with
+            IoU ≥ thr; only if none exists may it match an ignored gt;
+          * already-matched gts are unavailable unless crowd;
+          * ties break to the HIGHEST gt index within each preference class
+            (the scan's `< best: continue` lets an equal IoU update the
+            match, so the last maximum scanned wins);
+          * an unmatched detection outside the area range is ignored.
+
+        Returns tp [A,T,D], ignore [A,T,D] bool, npig [A], scores [D].
+        """
         g_crowd, g_area = pi["g_crowd"], pi["g_area"]
         d_scores, d_area, ious = pi["d_scores"], pi["d_area"], pi["ious"]
-        t_n = len(IOU_THRS)
+        t_n, a_n = len(IOU_THRS), len(area_rngs)
         g_n, d_n = len(g_area), len(d_scores)
-        g_ignore = g_crowd | (g_area < a_lo) | (g_area > a_hi)
-        # sort gts: non-ignored first (stable) — matching preference order
-        g_order = np.argsort(g_ignore, kind="mergesort")
-        tp = np.zeros((t_n, d_n))
-        dt_ig = np.zeros((t_n, d_n), bool)
-        for ti, thr in enumerate(IOU_THRS):
-            g_matched = np.zeros(g_n, bool)
-            for di in range(d_n):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for gj in g_order:
-                    if g_matched[gj] and not g_crowd[gj]:
-                        continue
-                    # best non-ignored match locked in; rest are ignored gts
-                    if best_g > -1 and not g_ignore[best_g] and g_ignore[gj]:
-                        break
-                    if ious[di, gj] < best_iou:
-                        continue
-                    best_iou = ious[di, gj]
-                    best_g = gj
-                if best_g == -1:
-                    # unmatched det outside area range is not penalized
-                    dt_ig[ti, di] = d_area[di] < a_lo or d_area[di] > a_hi
-                    continue
-                g_matched[best_g] = True
-                dt_ig[ti, di] = g_ignore[best_g]
-                tp[ti, di] = 0.0 if g_ignore[best_g] else 1.0
-        return {"scores": d_scores, "tp": tp, "ignore": dt_ig,
-                "npig": int((~g_ignore).sum())}
+        lo = np.asarray([r[0] for r in area_rngs])
+        hi = np.asarray([r[1] for r in area_rngs])
+        g_ignore = (g_crowd[None, :] | (g_area[None, :] < lo[:, None])
+                    | (g_area[None, :] > hi[:, None]))          # [A,G]
+        d_outside = ((d_area[None, :] < lo[:, None])
+                     | (d_area[None, :] > hi[:, None]))         # [A,D]
+        tp = np.zeros((a_n, t_n, d_n))
+        dt_ig = np.zeros((a_n, t_n, d_n), bool)
+        npig = (~g_ignore).sum(1)
+        if g_n == 0:
+            dt_ig[:] = d_outside[:, None, :]
+            return {"scores": d_scores, "tp": tp, "ignore": dt_ig,
+                    "npig": npig}
+        thr = np.minimum(IOU_THRS, 1 - 1e-10)[None, :, None]    # [1,T,1]
+        gi = g_ignore[:, None, :]                               # [A,1,G]
+        crowd = g_crowd[None, None, :]                          # [1,1,G]
+        matched = np.zeros((a_n, t_n, g_n), bool)
+        a_idx = np.arange(a_n)[:, None]
+        t_idx = np.arange(t_n)[None, :]
+        for di in range(d_n):
+            iou = ious[di][None, None, :]                       # [1,1,G]
+            ok = (iou >= thr) & (~matched | crowd)              # [A,T,G]
+            ok_pref = ok & ~gi
+            has_pref = ok_pref.any(-1)                          # [A,T]
+            use = np.where(has_pref[..., None], ok_pref, ok & gi)
+            sel = use.any(-1)                                   # [A,T]
+            # last-occurrence argmax = highest-index tie-break (the scan's
+            # equal-IoU update); argmax alone would keep the first maximum
+            cand = np.where(use, iou, -1.0)                     # [A,T,G]
+            best = g_n - 1 - cand[..., ::-1].argmax(-1)         # [A,T]
+            matched[a_idx, t_idx, best] |= sel
+            best_ig = g_ignore[a_idx * np.ones_like(best), best]
+            tp[:, :, di] = sel & ~best_ig
+            dt_ig[:, :, di] = np.where(sel, best_ig,
+                                       d_outside[:, None, di])
+        return {"scores": d_scores, "tp": tp, "ignore": dt_ig, "npig": npig}
