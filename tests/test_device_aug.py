@@ -395,6 +395,211 @@ def test_device_mode_canvas_cache_is_transparent(tmp_path):
             np.testing.assert_array_equal(x, y)
 
 
+def test_device_mosaic_geometry_matches_host_oracle():
+    """compose_mosaic vs the host load_mosaic (data/mosaic.py, reference
+    voc.py:140-211) on handcrafted inputs: 4 constant-color tiles (one
+    landscape → exercises the region-rect path), integer-aligned center.
+    Boxes must map through the identical affine (exact); pixels must agree
+    everywhere except a small band around tile seams (different resamplers).
+
+    Device composes at out_size S ≡ the host's 2S canvas: host img_size=S/2.
+    """
+    from yolo_nano_tpu.data.device_aug import _MEAN, compose_mosaic
+    from yolo_nano_tpu.data.mosaic import load_mosaic
+
+    out = 128                       # host: img_size 64, canvas 128
+    base = 64                       # device base-canvas resolution
+    colors = [(200, 30, 30), (30, 200, 30), (30, 30, 200), (200, 200, 30)]
+    # native images: 3 square 64x64, one landscape 64x32 (tile index 2)
+    natives, nat_boxes = [], []
+    for t in range(4):
+        h = 32 if t == 2 else 64
+        natives.append(np.full((h, 64, 3), colors[t], np.uint8))
+        nat_boxes.append(np.asarray([[0.125, 0.25, 0.625, 0.75]], np.float32))
+
+    # ---- host oracle: stub rng pins the center to (80, 80)
+    class _RngStub:
+        def __init__(self):
+            self.calls = 0
+
+        def uniform(self, lo, hi):
+            self.calls += 1
+            return 80.0
+
+    def load_fn(i):
+        t = np.concatenate([nat_boxes[i], np.full((1, 1), i, np.float32)], 1)
+        return natives[i], t
+
+    exp_img, exp_t = load_mosaic(load_fn, [0, 1, 2, 3], out // 2, _RngStub())
+
+    # ---- device: canvases = letterboxed natives, boxes canvas-normalized
+    from yolo_nano_tpu.data.transforms import resize_letterbox
+
+    imgs = np.zeros((4, base, base, 3), np.uint8)
+    boxes = np.full((4, 6, 4), 0.0, np.float32)
+    labels = np.full((4, 6), -1, np.int32)
+    regions = np.zeros((4, 5), np.float32)
+    for t in range(4):
+        canvas, cbox, scale, off = resize_letterbox(
+            natives[t].astype(np.float32), base, boxes=nat_boxes[t])
+        imgs[t] = np.clip(canvas, 0, 255).astype(np.uint8)
+        regions[t, :4] = [off[0], off[1], off[0] + scale[0],
+                          off[1] + scale[1]]
+        regions[t, 4] = 1.0
+        boxes[t, 0] = cbox[0]
+        labels[t, 0] = t
+    d = {"mos_tiles": jnp.asarray([0, 1, 2]),       # rows 1,2,3 for idx 0
+         "mos_cx": jnp.asarray((80 / out - 0.25) / 0.5),
+         "mos_cy": jnp.asarray((80 / out - 0.25) / 0.5)}
+    pad = jnp.asarray(_MEAN, jnp.float32) * 255.0
+    img_d, bx_d, lb_d = jax.jit(
+        lambda d, i, b, l, r: compose_mosaic(  # noqa: E741
+            jnp.asarray(0), d, i, b, l, r, out, pad))(
+        d, jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(regions))
+    img_d, bx_d, lb_d = map(np.asarray, (img_d, bx_d, lb_d))
+
+    # boxes: one per tile, same order, same affine+clip (exact math)
+    assert list(lb_d[:4]) == [0, 1, 2, 3] and (lb_d[4:] == -1).all()
+    np.testing.assert_allclose(bx_d[:4], exp_t[:, :4], atol=2e-3)
+
+    # pixels: equal outside a 3px band around every tile seam
+    xc = yc = 80
+    seams_x = [16, xc, xc + 64, out]     # tile edges (tile widths 64)
+    seams_y = [16, 48, yc, yc + 64, yc + 32, out]
+    keep = np.ones((out, out), bool)
+    for sx in seams_x:
+        keep[:, max(sx - 3, 0):sx + 3] = False
+    for sy in seams_y:
+        keep[max(sy - 3, 0):sy + 3, :] = False
+    diff = np.abs(img_d - exp_img.astype(np.float32)).max(axis=-1)
+    assert diff[keep].max() <= 2.0, diff[keep].max()
+
+
+def test_device_mosaic_draws_and_integration():
+    """sample_draws(mosaic=True) field sanity + the full apply_augment
+    mosaic path under jit: mosaic'd items differ from the non-mosaic run,
+    boxes stay in [0,1], valid boxes compact to the front, and the item's
+    own boxes appear among the tiles' (tile 0 is the item itself)."""
+    rng = np.random.default_rng(9)
+    b, s0, s, m = 8, 48, 64, 8
+    imgs = rng.integers(0, 255, (b, s0, s0, 3), dtype=np.uint8)
+    boxes = rng.uniform(0.05, 0.45, (b, m, 4)).astype(np.float32)
+    boxes[..., 2:] += 0.5
+    labels = rng.integers(0, 5, (b, m)).astype(np.int32)
+    labels[:, 2:] = -1                   # 2 valid boxes per image
+    regions = np.tile(np.asarray([0, 0, 1, 1, 1], np.float32), (b, 1))
+
+    draws = sample_draws(jax.random.key(3), b, mosaic=True)
+    t = np.asarray(draws["mos_tiles"])
+    assert t.shape == (b, 3) and (t >= 0).all() and (t <= b - 2).all()
+    assert all(len(set(row)) == 3 for row in t)   # distinct offsets
+    assert 0.0 < float(np.asarray(draws["mos_coin"]).mean()) < 1.0
+
+    out_m = jax.jit(make_augment_fn(s, mosaic=True))(
+        imgs, boxes, labels, regions, jax.random.key(3))
+    out_p = jax.jit(make_augment_fn(s))(
+        imgs, boxes, labels, regions, jax.random.key(3))
+    im, bm, lm = map(np.asarray, out_m)
+    assert im.shape == (b, s, s, 3) and np.isfinite(im).all()
+    coin = np.asarray(draws["mos_coin"])
+    assert coin.any() and not coin.all()
+    valid = lm >= 0
+    # f32 mirror math (1−x) can undershoot 0 by ~1e-8 — epsilon tolerance
+    assert (bm[valid] >= -1e-6).all() and (bm[valid] <= 1 + 1e-6).all()
+    # compact: no valid row after the first -1
+    for i in range(b):
+        v = valid[i]
+        assert not (~v[:-1] & v[1:]).any()
+        if coin[i]:
+            # 4 tiles x 2 valid boxes each = 8 (nothing dropped, m=8 slots)
+            assert v.sum() == 8, (i, v.sum())
+            # tile 0 is the item: its labels lead the compacted list
+            assert list(lm[i][:2]) == list(labels[i][:2])
+        else:
+            np.testing.assert_array_equal(im[i], np.asarray(out_p[0])[i])
+
+
+def test_device_mosaic_train_step_and_mesh():
+    """mosaic=True augment composed into the jitted train step on the
+    8-device mesh — the launchable --device_augment --mosaic path."""
+    from yolo_nano_tpu.config import YoloNanoConfig
+    from yolo_nano_tpu.models.yolo_nano import init_yolo_nano
+    from yolo_nano_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolo_nano_tpu.train.state import create_train_state, make_optimizer
+    from yolo_nano_tpu.train.train_step import make_train_step
+
+    cfg = YoloNanoConfig(num_classes=20)
+    params, stats = init_yolo_nano(jax.random.key(0), cfg)
+    tx = make_optimizer(lambda step: 1e-3)
+    state = create_train_state(params, stats, tx, use_ema=False)
+    mesh = make_mesh(8)
+    step_fn = make_train_step(cfg, tx, 64, mesh=mesh, donate=False,
+                              augment=make_augment_fn(64, mosaic=True))
+    rng = np.random.default_rng(10)
+    images = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    boxes = np.tile(np.asarray([[0.2, 0.3, 0.6, 0.7]], np.float32), (8, 1, 1))
+    labels = np.tile(np.asarray([2], np.int32), (8, 1))
+    regions = np.tile(np.asarray([0, 0, 1, 1, 1], np.float32), (8, 1))
+    images, boxes, labels, regions = shard_batch(mesh, images, boxes, labels,
+                                                 regions)
+    state, metrics = step_fn(state, images, boxes, labels, regions,
+                             jax.random.key(0))
+    assert np.isfinite(float(metrics["loss/total"]))
+
+
+def test_crowded_gt_crop_distribution_matches_host():
+    """VERDICT r3 item 9: the R=16-round truncation bites hardest on crowded
+    images (many boxes → most candidate crops rejected by the center /
+    min-IoU rules). At 24 boxes/image, the device sampler's identity rate
+    and kept-box mean must stay within sampling noise + the documented
+    fallback tail (≤5%) of the host sampler's."""
+    from yolo_nano_tpu.data.transforms import random_sample_crop
+
+    n = 250
+    W = H = 320
+    img = np.zeros((H, W, 3), np.float32)
+    g = np.random.default_rng(11)
+    tl = g.uniform(0.02, 0.78, (24, 2))
+    wh = g.uniform(0.08, 0.2, (24, 2))
+    nboxes = np.concatenate([tl, np.minimum(tl + wh, 0.98)], 1)
+    abs_boxes = (nboxes * [W, H, W, H]).astype(np.float32)
+    labels_np = np.arange(24, dtype=np.int64) % 6
+
+    h_ident = h_kept = 0.0
+    for seed in range(n):
+        rng = np.random.default_rng(seed)
+        out, ob, ol = random_sample_crop(img, abs_boxes, labels_np, rng)
+        if out.shape == img.shape:
+            h_ident += 1
+            h_kept += 24
+        else:
+            h_kept += len(ol)
+
+    boxes = jnp.asarray(nboxes, jnp.float32)
+    labels = jnp.asarray(labels_np, jnp.int32)
+    region = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    crop_j = jax.jit(sample_crop, static_argnums=4)
+    d_ident = d_kept = 0.0
+    cx = (nboxes[:, :2] + nboxes[:, 2:]) / 2
+    for seed in range(n):
+        d = {k: v[0] for k, v in
+             sample_draws(jax.random.key(seed), 1).items()}
+        rect, identity = crop_j(d, boxes, labels, region, W)
+        rect = np.asarray(rect)
+        if bool(identity):
+            d_ident += 1
+            d_kept += 24
+        else:
+            inside = ((rect[0] < cx[:, 0]) & (rect[1] < cx[:, 1])
+                      & (rect[2] > cx[:, 0]) & (rect[3] > cx[:, 1]))
+            d_kept += inside.sum()
+    # identity-rate gap ≤ sampling noise (2σ ≈ 0.09) + the ≤5% R=16 tail
+    assert abs(h_ident / n - d_ident / n) < 0.14, (h_ident / n, d_ident / n)
+    # kept-box mean (boxes surviving per draw) within 10% of 24
+    assert abs(h_kept / n - d_kept / n) < 2.4, (h_kept / n, d_kept / n)
+
+
 def test_loader_device_mode_yields_uint8_canvases_and_regions(tmp_path):
     from tests.helpers import make_synthetic_voc
     from yolo_nano_tpu.data.loader import DetectionLoader

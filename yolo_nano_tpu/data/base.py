@@ -90,24 +90,13 @@ class DetectionDatasetBase:
     def _pull_item_device(self, index: int, rng: np.random.Generator):
         """(canvas uint8 BGR [S0,S0,3], target [M,5] canvas-normalized,
         region [5] = image-region rect + crop_allowed). Host cost: decode +
-        one uint8 letterbox (+ geometric mosaic composition); everything
-        else moves into the train step (data/device_aug.py)."""
-        import cv2
-
+        one uint8 letterbox; everything else — mosaic composition included
+        (device_aug.compose_mosaic draws tiles from the batch's other rows)
+        — moves into the train step (data/device_aug.py), so the canvas
+        cache stays fully effective with mosaic on.
+        """
         from yolo_nano_tpu.data.transforms import resize_letterbox
 
-        if self.mosaic and rng.integers(2):
-            others = rng.choice(len(self.ids), size=3, replace=False)
-            img, target = load_mosaic(self._load_for_mosaic,
-                                      [index, *others.tolist()],
-                                      self.img_size, rng)
-            # 2S mosaic canvas → S0 base (the host color_transform resize,
-            # transforms.py:424-441); boxes are already canvas-normalized.
-            canvas = cv2.resize(img, (self.img_size, self.img_size))
-            # crop_allowed=0: the reference's mosaic branch is crop-free
-            # (ColorTransforms, data/voc.py:216-222)
-            region = np.array([0.0, 0.0, 1.0, 1.0, 0.0], np.float32)
-            return canvas, target.astype(np.float32), region
         # the letterboxed canvas is DETERMINISTIC per index (all randomness
         # lives on device), so with the image cache enabled we memoize the
         # finished (canvas, target, region) triple — warm epochs cost only
@@ -129,4 +118,9 @@ class DetectionDatasetBase:
                            1.0 if self.augment else 0.0], np.float32)
         if self._img_cache is not None:
             self._canvas_cache[index] = (canvas, out, region)
+            # the canvas fully determines the device-mode item (mosaic now
+            # composes from canvases on device too), so the decoded image
+            # is dead weight once memoized — evict it; keeping both would
+            # double the cache to ~2·H·W·3 bytes/image
+            self._img_cache.pop(index, None)
         return canvas, out, region

@@ -26,9 +26,13 @@ Distribution parity with the host chain (data/transforms.py):
     byte-for-byte (`overlap.min() < min_iou and max_iou < overlap.max()` →
     reject; ≥1 box center strictly inside; h/w ∈ (0.5, 2)); the unbounded
     retry loop becomes a fixed R×T candidate grid scanned in order
-    (R=16 mode rounds × T=32 trials; the host fallback-to-identity tail
-    probability is (5/6)^50≈1e-4, ours ≤(5/6)^16≈5%, only reached on
-    images where nearly all crops are rejected).
+    (R=16 mode rounds × T=32 trials). Identity-exit tails differ: the
+    reference loop's ONLY identity exit is drawing mode None — it retries
+    crop modes forever (reference transforms.py:256 `while True`) — whereas
+    ours additionally falls back to identity when all R×T candidates are
+    rejected, probability ≤(5/6)^16≈5%, reached only on images where
+    nearly every crop is rejected (crowded scenes — pinned by the
+    crowded-gt distribution test in tests/test_device_aug.py).
   * known deviations (documented, all sub-pixel or resampling-level): crop
     rect coords are float (host truncates to int pixels); the output
     letterbox centers with float precision (host uses integer //2); pixels
@@ -249,16 +253,99 @@ def crop_letterbox_boxes(boxes, labels, rect, identity):
 
 
 # ---------------------------------------------------------------------------
+# in-graph 4-tile mosaic (reference data/voc.py:140-211) from base canvases
+# ---------------------------------------------------------------------------
+
+def compose_mosaic(idx, d, images_u8, boxes, labels, regions, out_size: int,
+                   pad_bgr):
+    """Compose one mosaic for batch item `idx` entirely on device.
+
+    The reference builds a 2S×2S canvas from 4 native images scaled by
+    r = S/max(h,w), then resizes it to S (ColorTransforms). Here each tile
+    is drawn from ANOTHER ROW of the current batch: the cached letterboxed
+    canvas already holds the image at scale S0/max(h,w) inside its region
+    rect, so the tile's mosaic footprint is exactly half the region rect —
+    each tile maps canvas-region → out with a constant 0.5 relative scale,
+    one affine resample per tile, composed directly at out_size (the 2S
+    canvas ≡ the unit square of the output).
+
+    Documented deviations from the host path (A/B'd in PARITY.md):
+      * tiles are the item plus 3 distinct random rows of the shuffled
+        batch, not 3 draws from the whole dataset (marginally uniform over
+        the dataset across epochs; in-batch mosaic);
+      * float sub-pixel geometry (host truncates center/tile sizes to int);
+      * ONE resample canvas→out instead of the host's native→2S→S0→out two
+        (fewer, not more, interpolation passes than the reference).
+
+    Returns (image [S,S,3] f32 BGR, boxes [M,4], labels [M]) — the merged
+    gt of all 4 tiles, clipped to the canvas (reference voc.py:207-209),
+    compacted valid-first into the item's M slots.
+    """
+    batch, m = labels.shape
+    base_size = images_u8.shape[1]
+    tiles = jnp.concatenate([idx[None], (idx + 1 + d["mos_tiles"]) % batch])
+    # mosaic center: U(S/2, 3S/2) on the 2S canvas → U(0.25, 0.75) normalized
+    # (reference voc.py:158)
+    cx = 0.25 + 0.5 * d["mos_cx"]
+    cy = 0.25 + 0.5 * d["mos_cy"]
+
+    s = out_size / (2.0 * base_size)  # constant: half the region scale
+    img_out = jnp.broadcast_to(pad_bgr, (out_size, out_size, 3))
+    out_boxes, out_labels = [], []
+    xs = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    for t in range(4):
+        ti = tiles[t]
+        reg = regions[ti, :4]
+        tw = (reg[2] - reg[0]) * 0.5  # tile footprint, out-normalized
+        th = (reg[3] - reg[1]) * 0.5
+        # unclipped destination rect per quadrant (reference voc.py:39-54
+        # here == mosaic.py:39-54): anchored at the center point
+        dx0 = cx - tw if t in (0, 2) else cx
+        dy0 = cy - th if t in (0, 1) else cy
+        rect = jnp.stack([dx0, dy0, dx0 + tw, dy0 + th])
+        # scale_and_translate: x_in = (x_out + 0.5 - t)/s − 0.5 with
+        # t = S·(d0 − reg0/2) (derived from region→dest affine, both axes)
+        trans = jnp.stack([out_size * (dy0 - reg[1] * 0.5),
+                           out_size * (dx0 - reg[0] * 0.5)])
+        tile = jax.image.scale_and_translate(
+            images_u8[ti].astype(jnp.float32),
+            (out_size, out_size, 3), (0, 1), jnp.stack([s, s]), trans,
+            "linear", antialias=False)
+        inside = ((xs[None, :] > rect[0] * out_size)
+                  & (xs[None, :] < rect[2] * out_size)
+                  & (xs[:, None] > rect[1] * out_size)
+                  & (xs[:, None] < rect[3] * out_size))
+        img_out = jnp.where(inside[..., None], tile, img_out)
+        # boxes: canvas-normalized → out-normalized through the same affine
+        bx = boxes[ti]
+        mapped = jnp.concatenate(
+            [(bx[:, 0:1] - reg[0]) * 0.5 + dx0,
+             (bx[:, 1:2] - reg[1]) * 0.5 + dy0,
+             (bx[:, 2:3] - reg[0]) * 0.5 + dx0,
+             (bx[:, 3:4] - reg[1]) * 0.5 + dy0], axis=1)
+        out_boxes.append(jnp.clip(mapped, 0.0, 1.0))  # voc.py:207-209
+        out_labels.append(labels[ti])
+    all_bx = jnp.concatenate(out_boxes, 0)            # [4M, 4]
+    all_lb = jnp.concatenate(out_labels, 0)           # [4M]
+    order = jnp.argsort(all_lb < 0, stable=True)      # valid rows first
+    keep = order[:m]
+    return img_out, all_bx[keep], all_lb[keep]
+
+
+# ---------------------------------------------------------------------------
 # draws + the batched pipeline
 # ---------------------------------------------------------------------------
 
-def sample_draws(key, batch: int, rounds: int = 16, trials: int = 32):
+def sample_draws(key, batch: int, rounds: int = 16, trials: int = 32,
+                 mosaic: bool = False):
     """All randomness for one batch, as a dict of arrays with leading dim B.
-    Separated from apply_augment so tests can inject handcrafted draws."""
-    ks = jax.random.split(key, 15)
+    Separated from apply_augment so tests can inject handcrafted draws.
+    With mosaic=True, adds the mosaic coin (p=0.5, reference voc.py:216),
+    the 3 distinct other-row tile offsets, and the mosaic center."""
+    ks = jax.random.split(key, 19 if mosaic else 15)
     u = functools.partial(jax.random.uniform, shape=(batch,))
     coin = lambda k: jax.random.bernoulli(k, 0.5, (batch,))  # noqa: E731
-    return {
+    draws = {
         "bri_coin": coin(ks[0]),
         "bri_delta": u(ks[1], minval=-32.0, maxval=32.0),
         "order_coin": coin(ks[2]),
@@ -275,18 +362,39 @@ def sample_draws(key, batch: int, rounds: int = 16, trials: int = 32):
         "u_t": jax.random.uniform(ks[13], (batch, rounds, trials)),
         "mirror": coin(ks[14]),
     }
+    if mosaic:
+        # 3 distinct offsets into the other batch-1 rows: j = (i+1+off) % B
+        if batch >= 4:
+            tiles = jax.vmap(lambda k: jax.random.choice(
+                k, batch - 1, (3,), replace=False))(
+                jax.random.split(ks[16], batch))
+        else:  # degenerate tiny batches (tests/dryruns): allow repeats
+            tiles = jax.random.randint(ks[16], (batch, 3), 0,
+                                       max(batch - 1, 1))
+        draws.update({
+            "mos_coin": coin(ks[15]),
+            "mos_tiles": tiles,
+            "mos_cx": u(ks[17]),
+            "mos_cy": u(ks[18]),
+        })
+    return draws
 
 
 def apply_augment(images_u8, boxes, labels, regions, draws, out_size: int,
-                  out_dtype=jnp.float32):
+                  out_dtype=jnp.float32, mosaic: bool = False):
     """The pure batched pipeline (all randomness pre-drawn).
 
     images_u8 [B,S0,S0,3] uint8 BGR base canvases; boxes [B,M,4] normalized
     canvas coords; labels [B,M] int32 (−1 pad); regions [B,5] = normalized
-    image-region rect + crop_allowed flag (0 for mosaic items — the
-    reference's mosaic branch uses the crop-free ColorTransforms chain,
-    data/voc.py:216-222). Returns (images [B,S,S,3] out_dtype RGB
-    normalized, boxes [B,M,4], labels [B,M]).
+    image-region rect + crop_allowed flag (0 disables the SSD crop).
+    Returns (images [B,S,S,3] out_dtype RGB normalized, boxes [B,M,4],
+    labels [B,M]).
+
+    mosaic=True (draws from sample_draws(..., mosaic=True)): with p=0.5 per
+    item the output is instead a 4-tile in-graph mosaic (compose_mosaic)
+    followed by the crop-free color chain — photometric, mirror, normalize —
+    exactly the reference's mosaic branch structure (ColorTransforms,
+    data/voc.py:216-222) with the composition itself moved on device.
     """
     if regions.ndim != 2 or regions.shape[-1] != 5:
         raise ValueError(
@@ -295,13 +403,24 @@ def apply_augment(images_u8, boxes, labels, regions, draws, out_size: int,
     base_size = images_u8.shape[1]
     pad_bgr = jnp.asarray(_MEAN, jnp.float32) * 255.0
 
-    def one(img_u8, bx, lb, reg, d):
+    def one(i, d):
+        img_u8, bx, lb, reg = images_u8[i], boxes[i], labels[i], regions[i]
         img = photometric_distort(img_u8.astype(jnp.float32), d)
         rect, identity = sample_crop(d, bx, lb, reg[:4], base_size)
         identity = identity | (reg[4] == 0)
         rect = jnp.where(reg[4] == 0, reg[:4], rect)
         out = crop_letterbox_image(img, rect, out_size, pad_bgr)
         nb, nl = crop_letterbox_boxes(bx, lb, rect, identity)
+        if mosaic:
+            m_img, m_bx, m_lb = compose_mosaic(
+                i, d, images_u8, boxes, labels, regions, out_size, pad_bgr)
+            # one photometric draw on the COMPOSED image, like the
+            # reference's single ColorTransforms pass over the 2S canvas
+            m_img = photometric_distort(m_img, d)
+            use = d["mos_coin"]
+            out = jnp.where(use, m_img, out)
+            nb = jnp.where(use, m_bx, nb)
+            nl = jnp.where(use, m_lb, nl)
         # mirror (reference transforms.py:333-340)
         out = jnp.where(d["mirror"], out[:, ::-1], out)
         flipped = jnp.concatenate(
@@ -311,8 +430,8 @@ def apply_augment(images_u8, boxes, labels, regions, draws, out_size: int,
                                               0.0), nb)
         return out, nb, nl
 
-    imgs, nboxes, nlabels = jax.vmap(one)(images_u8, boxes, labels, regions,
-                                          draws)
+    imgs, nboxes, nlabels = jax.vmap(one)(
+        jnp.arange(images_u8.shape[0]), draws)
     # normalize in BGR then flip to RGB (host _normalize_to_rgb,
     # reference transforms.py:59-70,394-398)
     mean = jnp.asarray(_MEAN, jnp.float32)
@@ -323,13 +442,17 @@ def apply_augment(images_u8, boxes, labels, regions, draws, out_size: int,
 
 
 def make_augment_fn(out_size: int, rounds: int = 16, trials: int = 32,
-                    out_dtype=jnp.float32):
+                    out_dtype=jnp.float32, mosaic: bool = False):
     """→ augment(images_u8, boxes, labels, regions, key) for composition into
-    the train step (train.train_step.make_train_step(augment=...))."""
+    the train step (train.train_step.make_train_step(augment=...)).
+    mosaic=True folds the 4-tile mosaic into the graph too (compose_mosaic):
+    the host then always ships plain per-index canvases — the canvas cache
+    stays fully effective with mosaic on."""
 
     def augment(images_u8, boxes, labels, regions, key):
-        draws = sample_draws(key, images_u8.shape[0], rounds, trials)
+        draws = sample_draws(key, images_u8.shape[0], rounds, trials,
+                             mosaic=mosaic)
         return apply_augment(images_u8, boxes, labels, regions, draws,
-                             out_size, out_dtype)
+                             out_size, out_dtype, mosaic=mosaic)
 
     return augment
