@@ -65,7 +65,7 @@ def _predict_jit(cfg: YoloNanoConfig, input_size: int, bf16: bool):
 
 def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
                     fold: bool = True, dtype: str = "bfloat16",
-                    mesh=None) -> Callable:
+                    mesh=None, process_shard=None) -> Callable:
     """Compiled batched inference closure: images → detections.
     Applies conv-BN folding at build time (the reference folds only in
     benchmark.py:140-141; here it is the default serving path).
@@ -73,7 +73,14 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
     With `mesh`, inference fans out across the data-parallel mesh: the batch
     shards on axis 0 (must divide the mesh size), params replicate, and the
     fixed-shape detections come back batch-sharded — multi-chip batched eval
-    with zero model changes."""
+    with zero model changes.
+
+    With `process_shard=(process_id, process_count)` (multi-controller mode;
+    requires `mesh` spanning all processes' devices), the closure takes the
+    FULL global host batch on every process, materializes only this
+    process's rows (jax.make_array_from_process_local_data), and returns
+    fully-REPLICATED detections so every controller can fetch them — the
+    evaluators then run in lockstep on identical results."""
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +95,8 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
         params = cast_f32_to_bf16(params)
 
     if mesh is None:
+        if process_shard is not None:
+            raise ValueError("process_shard needs a global mesh")
         jitted = _predict_jit(cfg, input_size, dtype == "bfloat16")
 
         def fn(images):
@@ -109,12 +118,29 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
             x = x.astype(jnp.bfloat16)
         return predict(params, stats, x, cfg, input_size)
 
-    sharded_jit = jax.jit(core, in_shardings=data, out_shardings=data)
+    out_sh = NamedSharding(mesh, P()) if process_shard is not None else data
+    sharded_jit = jax.jit(core, in_shardings=data, out_shardings=out_sh)
 
-    def sharded(images):
-        return sharded_jit(jax.device_put(jnp.asarray(images), data))
+    if process_shard is None:
+        def sharded(images):
+            return sharded_jit(jax.device_put(jnp.asarray(images), data))
 
-    return sharded
+        return sharded
+
+    pid, count = process_shard
+
+    def sharded_mp(images):
+        images = np.asarray(images)
+        if images.shape[0] % count:
+            raise ValueError(
+                f"global eval batch {images.shape[0]} must divide over "
+                f"{count} processes")
+        per = images.shape[0] // count
+        local = np.ascontiguousarray(images[pid * per:(pid + 1) * per])
+        x = jax.make_array_from_process_local_data(data, local)
+        return sharded_jit(x)
+
+    return sharded_mp
 
 
 def draw_detections(img_bgr: np.ndarray, boxes: np.ndarray,

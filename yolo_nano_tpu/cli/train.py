@@ -86,15 +86,49 @@ def parse_args(argv=None):
     p.add_argument("--profile_steps", default=0, type=int,
                    help="capture a jax.profiler trace for N steps "
                         "(written to <save>/profile)")
+    # multi-controller (one process per host) launch surface; the reference
+    # imports DDP but never constructs it (reference train.py:13-14) — here
+    # a real multi-host pod trains through the same CLI. Env fallbacks
+    # (YNT_COORDINATOR / YNT_NUM_PROCESSES / YNT_PROCESS_ID) let cluster
+    # launchers inject the topology without editing command lines.
+    p.add_argument("--coordinator", default=os.environ.get("YNT_COORDINATOR"),
+                   help="host:port of process 0 for jax.distributed — "
+                        "setting this enables multi-process training; "
+                        "batch_size stays the GLOBAL batch")
+    p.add_argument("--num_processes", type=int,
+                   default=int(os.environ.get("YNT_NUM_PROCESSES", 0)) or None)
+    p.add_argument("--process_id", type=int,
+                   default=(int(os.environ["YNT_PROCESS_ID"])
+                            if "YNT_PROCESS_ID" in os.environ else None))
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.coordinator:
+        # must run before anything touches the backend (compile-cache
+        # included): jax.distributed stitches all processes' devices into
+        # one global device set
+        if args.num_processes is None or args.process_id is None:
+            raise SystemExit("--coordinator needs --num_processes and "
+                             "--process_id (or the YNT_* env vars)")
+        from yolo_nano_tpu.parallel.multiprocess import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     from yolo_nano_tpu.utils.compile_cache import enable as _cc_enable
     _cc_enable()  # persistent XLA cache: remote-TPU compiles are 1-4 min
     import jax
     import jax.numpy as jnp
+
+    pid = jax.process_index()
+    pcount = jax.process_count()
+    is_main = pid == 0
+    if not is_main:
+        # one log stream: non-0 controllers run the identical program (SPMD)
+        # and would print identical lines — keep stdout for process 0 only
+        import builtins
+
+        builtins.print = lambda *a, **k: None
 
     from yolo_nano_tpu.cli.common import build_config, make_predict_fn
     from yolo_nano_tpu.data.coco import COCODataset
@@ -140,7 +174,9 @@ def main(argv=None):
     loader = DetectionLoader(dataset, args.batch_size,
                              max_boxes=max_boxes,
                              num_workers=args.num_workers, seed=args.seed,
-                             worker_mode=args.worker_mode)
+                             worker_mode=args.worker_mode,
+                             process_shard=(pid, pcount) if pcount > 1
+                             else None)
     epoch_size = len(loader)
 
     params, stats = init_yolo_nano(jax.random.key(args.seed), cfg)
@@ -154,7 +190,8 @@ def main(argv=None):
         params = dict(params, backbone=blob["params"])
         stats = dict(stats, backbone=blob["stats"])
         print(f"loaded pretrained backbone from {args.pretrained}")
-    flops_and_params(params, stats, cfg, args.img_size)
+    if is_main:  # pure local compile/report — no collective work
+        flops_and_params(params, stats, cfg, args.img_size)
 
     schedule = warmup_step_schedule(args.lr, epoch_size,
                                     wp_epochs=args.wp_epoch,
@@ -179,12 +216,30 @@ def main(argv=None):
             start_epoch = max(start_epoch, int(state.step) // epoch_size)
             print(f"resumed @ step {int(state.step)} (epoch {start_epoch})")
 
-    # data-parallel mesh over the most devices that divide the batch evenly
+    # data-parallel mesh over the most devices that divide the batch evenly;
+    # multi-controller runs must use EVERY global device (each process's
+    # chips participate in the same SPMD program)
     n_dev = jax.device_count()
-    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    if pcount > 1:
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"multi-process training needs global batch_size "
+                f"({args.batch_size}) divisible by the global device count "
+                f"({n_dev})")
+        n_use = n_dev
+    else:
+        n_use = max(d for d in range(1, n_dev + 1)
+                    if args.batch_size % d == 0)
     mesh = make_mesh(n_use) if n_use > 1 else None
     if mesh is not None:
-        print(f"data-parallel over {n_use}/{n_dev} devices")
+        print(f"data-parallel over {n_use}/{n_dev} devices"
+              + (f" across {pcount} processes" if pcount > 1 else ""))
+    if pcount > 1:
+        # identical deterministic host state on every process (same seed,
+        # same restore) → globally-replicated jax.Arrays on the mesh
+        from yolo_nano_tpu.parallel.multiprocess import replicate_tree
+
+        state = replicate_tree(mesh, state)
 
     steps = {}  # train_size → compiled step (multi-scale buckets)
 
@@ -194,15 +249,18 @@ def main(argv=None):
             if args.device_augment:
                 from yolo_nano_tpu.data.device_aug import make_augment_fn
 
+                # mosaic composes IN-GRAPH from the batch's canvases
+                # (device_aug.compose_mosaic) — the host never builds 2S
+                # canvases in device mode
                 augment = make_augment_fn(
                     size, out_dtype=jnp.bfloat16 if args.bf16
-                    else jnp.float32)
+                    else jnp.float32, mosaic=args.mosaic)
             steps[size] = make_train_step(cfg, tx, size, mesh=mesh,
                                           augment=augment)
         return steps[size]
 
     tb_writer = None
-    if args.tfboard:
+    if args.tfboard and is_main:
         try:
             from torch.utils.tensorboard import SummaryWriter
         except ImportError as e:
@@ -215,7 +273,8 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     train_size = args.img_size
-    log_f = open(log_path, "a")
+    # metrics log: process 0 writes, the rest sink (identical SPMD values)
+    log_f = open(log_path if is_main else os.devnull, "a")
     profiling = False
 
     from yolo_nano_tpu.data.loader import device_prefetch
@@ -223,6 +282,15 @@ def main(argv=None):
 
     in_dtype = jnp.bfloat16 if args.bf16 else np.float32
     batch_sh = batch_sharding(mesh) if mesh is not None else None
+    put_fn = None
+    if pcount > 1:
+        # the loader yields ONLY this process's batch rows; join them into
+        # global batch-sharded arrays (per-host loading, no redundant IO)
+        from yolo_nano_tpu.parallel.multiprocess import global_batch
+
+        def put_fn(batch):
+            out = global_batch(mesh, *batch)
+            return out if isinstance(out, tuple) else (out,)
 
     def host_batches():
         if args.device_augment:
@@ -242,7 +310,8 @@ def main(argv=None):
     for epoch in range(start_epoch, args.max_epoch):
         # double-buffered device placement: host augmentation + transfer
         # overlap device compute
-        batches = device_prefetch(host_batches(), size=2, sharding=batch_sh)
+        batches = device_prefetch(host_batches(), size=2, sharding=batch_sh,
+                                  put_fn=put_fn)
         for iter_i, batch in enumerate(batches):
             images, boxes, labels = batch[:3]
             if args.profile_steps and not profiling and epoch == 0 \
@@ -265,6 +334,13 @@ def main(argv=None):
                 aug_key = jax.random.fold_in(
                     jax.random.key(args.seed ^ 0x0DE7A06),
                     epoch * epoch_size + iter_i)
+                if pcount > 1:
+                    # every process derives the identical key; ship it as
+                    # raw key data (wrapped in-graph by the train step)
+                    from yolo_nano_tpu.parallel.multiprocess import (
+                        replicate_tree as _repl)
+
+                    aug_key = _repl(mesh, jax.random.key_data(aug_key))
                 state, metrics = step_fn(state, images, boxes, labels,
                                          batch[3], aug_key)
             else:
@@ -300,8 +376,9 @@ def main(argv=None):
             # (batch_size % n_use == 0 by construction of n_use, and
             # EvalLoader pads the final batch to batch_size, so every eval
             # batch is mesh-divisible)
-            predict_fn = make_predict_fn(eval_params, eval_stats, cfg,
-                                         args.eval_size, mesh=mesh)
+            predict_fn = make_predict_fn(
+                eval_params, eval_stats, cfg, args.eval_size, mesh=mesh,
+                process_shard=(pid, pcount) if pcount > 1 else None)
             evaluator.evaluate(predict_fn)
             ckpt.save(int(state.step), state)
             print(f"saved checkpoint @ step {int(state.step)}")

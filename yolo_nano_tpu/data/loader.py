@@ -273,12 +273,14 @@ class DetectionLoader:
             stop.set()
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+def device_prefetch(iterator, size: int = 2, sharding=None, put_fn=None):
     """Wrap a host batch iterator with asynchronous device placement: up to
     `size` batches live on device ahead of the consumer, overlapping host
     augmentation + transfer with device compute (the double-buffered
     device_put of SURVEY §7.4). `sharding` optionally places batches
-    batch-sharded across a mesh."""
+    batch-sharded across a mesh; `put_fn(batch_tuple) → tuple` overrides
+    placement entirely (multi-controller runs join per-process shards via
+    parallel.multiprocess.global_batch, which device_put cannot do)."""
     import collections
 
     import jax
@@ -286,6 +288,8 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     queue_: "collections.deque" = collections.deque()
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         return tuple(jax.device_put(b, sharding) for b in batch)
 
     it = iter(iterator)

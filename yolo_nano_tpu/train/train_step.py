@@ -106,6 +106,12 @@ def make_train_step(cfg: YoloNanoConfig, tx: optax.GradientTransformation,
     else:
         def train_step(state: TrainState, images_u8, gt_boxes, gt_labels,
                        regions, aug_key):
+            if aug_key.dtype == jnp.uint32:
+                # multi-controller callers pass raw key DATA (uint32[2]):
+                # extended-dtype key arrays can't go through
+                # make_array_from_callback, so the key crosses the host
+                # boundary as data and is wrapped in-graph
+                aug_key = jax.random.wrap_key_data(aug_key)
             images, gt_boxes, gt_labels = augment(
                 images_u8, gt_boxes, gt_labels, regions, aug_key)
             return body(state, images, gt_boxes, gt_labels)
