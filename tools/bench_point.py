@@ -43,6 +43,10 @@ def main(argv=None):
                      compute_dtype="bfloat16", nms_pre_topk=128)
     artifact = {"1.0x": "assets/bench_coco416",
                 "0.5x": "assets/bench_coco416_05x"}.get(backbone)
+    if artifact:  # resolve against the repo root, not the CWD — running the
+        # tool from elsewhere must not silently fall back to random init
+        artifact = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), artifact)
     if artifact and os.path.isdir(artifact):
         import bench
         bench.ARTIFACT = os.path.abspath(artifact)  # per-backbone artifact;
@@ -55,6 +59,9 @@ def main(argv=None):
         folded = jax.tree.map(lambda x: x.astype(jnp.bfloat16), fold_bn(p, s))
         fstats = empty_stats_like(folded)
         kind = "random"
+        print(f"WARNING: no trained artifact at {artifact} — timing RANDOM "
+              f"init weights (different NMS candidate load than the "
+              f"published tables)", file=sys.stderr)
 
     images = jnp.asarray(render_inputs(batch, size, seed=0), jnp.bfloat16)
 
