@@ -109,6 +109,28 @@ def main(argv=None):
             -2, 2, (args.batch_size, args.img_size, args.img_size, 3)),
             jnp.float32)]
 
+    # measure the above-threshold candidate load so pre_topk truncation is
+    # detectable instead of silent (crowded real images at low conf can
+    # exceed the serving budget; synthetic/random inputs rarely do)
+    from yolo_nano_tpu.models.yolo_nano import (forward_features,
+                                                scores_from_features)
+
+    @jax.jit
+    def count_candidates(x):
+        conf_p, cls_p, _, _ = forward_features(
+            params, stats, x.astype(getattr(jnp, args.dtype)), cfg,
+            train=False)
+        score, _ = scores_from_features(conf_p, cls_p)
+        return jnp.sum(score > args.conf_thresh, axis=tuple(
+            range(1, score.ndim)))
+    cand_max = int(max(np.asarray(count_candidates(b)).max()
+                       for b in batches))
+    if cand_max >= args.pre_topk:
+        print(f"WARNING: above-threshold candidate load (max {cand_max}/img)"
+              f" reaches --pre_topk {args.pre_topk}: NMS candidates are "
+              f"TRUNCATED — numbers are not comparable to the reference "
+              f"protocol; raise --pre_topk", flush=True)
+
     out = predict_fn(batches[0])
     np.asarray(out[1])  # compile + warmup
 
@@ -149,7 +171,9 @@ def main(argv=None):
           f"({p50 * 1e3 / args.batch_size:.3f} ms/img)")
     print(json.dumps({"metric": "coco_eval_images_per_sec_per_chip",
                       "value": round(fps, 1), "unit": "img/s",
-                      "p50_batch_ms": round(p50 * 1e3, 2)}))
+                      "p50_batch_ms": round(p50 * 1e3, 2),
+                      "candidates_max": cand_max,
+                      "pre_topk": args.pre_topk}))
 
 
 if __name__ == "__main__":

@@ -28,14 +28,14 @@ def enable(cache_dir: str | None = None) -> str | None:
     — CPU compiles are fast and XLA:CPU's AOT loader logs spurious
     machine-feature-mismatch errors on every cache hit (measured here), so
     the cache only pays on TPU. Set YNT_COMPILE_CACHE=<dir> to force it on
-    anyway."""
+    anyway (an explicit cache_dir argument forces it on the same way)."""
     env = os.environ.get("YNT_COMPILE_CACHE")
     if env == "0":
         return None
 
     import jax
 
-    if jax.default_backend() == "cpu" and not env:
+    if jax.default_backend() == "cpu" and not (env or cache_dir):
         return None
     cache_dir = cache_dir or env or _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
