@@ -93,10 +93,16 @@ def _train_args(root: str, save: str) -> list:
     # whole backward + cross-host gradient-reduction path to reduction-order
     # precision (a wrong psum factor or a misrouted batch row would be an
     # O(1) mismatch).
+    # --device_augment --mosaic: also pins the multi-controller in-graph
+    # augmentation path (the per-iter aug key ships as replicated raw key
+    # data and is wrapped in-graph) — the key derivation is identical on
+    # every process, so the augmented batches must match the single-process
+    # run exactly and every tolerance below still holds.
     return ["-m", "yolo_nano_tpu.cli.train", "-d", "voc", "--root", root,
             "--voc_sets", "2007", "--img_size", "64", "--eval_size", "64",
             "--batch_size", "8", "--max_epoch", "2", "--eval_epoch", "2",
             "--num_workers", "2", "--lr", "0", "--no_warm_up",
+            "--device_augment", "--mosaic",
             "--seed", "0", "--save_folder", save]
 
 
