@@ -34,31 +34,45 @@ VOC_SHAPE_CLASSES = ("aeroplane", "bicycle", "bird", "boat", "bottle", "bus")
 COCO_SHAPE_CATS = (1, 3, 7, 2, 5, 9)
 COCO_SHAPE_NAMES = ("person", "car", "train", "bicycle", "airplane", "boat")
 
+# --classes 20 (the full-VOC dress-rehearsal sets, round 4): class =
+# (shape, color-group) pair — the 6 shapes x 4 color groups, first 20 kept.
+# Group 0 keeps each shape's original color; groups 1-3 recolor (near-black
+# / near-white / orange), all distinguishable from the 60-190 gray noise
+# background, so the model must use shape AND color to classify.
+VOC_CLASSES_20 = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+COCO_SHAPE_CATS_20 = (1, 3, 7, 2, 5, 9, 4, 6, 8, 10,
+                      11, 13, 14, 15, 16, 17, 18, 19, 20, 21)
+_COLOR_GROUPS = (None, (25, 25, 25), (245, 245, 245), (30, 140, 250))
 
-def draw_shape(img, cls: int, x1: int, y1: int, x2: int, y2: int) -> None:
+
+def draw_shape(img, cls: int, x1: int, y1: int, x2: int, y2: int,
+               color=None) -> None:
     import cv2
 
     cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
     if cls == 0:
-        cv2.circle(img, (cx, cy), (x2 - x1) // 2, (40, 40, 220), -1)
+        cv2.circle(img, (cx, cy), (x2 - x1) // 2, color or (40, 40, 220), -1)
     elif cls == 1:
-        cv2.rectangle(img, (x1, y1), (x2, y2), (60, 200, 60), -1)
+        cv2.rectangle(img, (x1, y1), (x2, y2), color or (60, 200, 60), -1)
     elif cls == 2:
         pts = np.array([[cx, y1], [x1, y2], [x2, y2]])
-        cv2.fillPoly(img, [pts], (220, 80, 40))
+        cv2.fillPoly(img, [pts], color or (220, 80, 40))
     elif cls == 3:
         cv2.ellipse(img, (cx, cy), ((x2 - x1) // 2, (y2 - y1) // 2), 0,
-                    0, 360, (50, 200, 230), -1)
+                    0, 360, color or (50, 200, 230), -1)
     elif cls == 4:
         tx = max((x2 - x1) // 3, 2)
         ty = max((y2 - y1) // 3, 2)
         cv2.rectangle(img, (x1, cy - ty // 2), (x2, cy + ty // 2),
-                      (200, 60, 200), -1)
+                      color or (200, 60, 200), -1)
         cv2.rectangle(img, (cx - tx // 2, y1), (cx + tx // 2, y2),
-                      (200, 60, 200), -1)
+                      color or (200, 60, 200), -1)
     else:
         r = min(x2 - x1, y2 - y1) // 2
-        cv2.circle(img, (cx, cy), r, (210, 190, 40),
+        cv2.circle(img, (cx, cy), r, color or (210, 190, 40),
                    thickness=max(r // 3, 3))
 
 
@@ -80,11 +94,14 @@ def render_scene(rng, min_h=240, max_h=400, min_w=280, max_w=480,
         x1 = int(rng.integers(2, w - s - 2))
         y1 = int(rng.integers(2, h - s - 2))
         cls = int(rng.integers(n_classes))
+        shape, color = cls, None
+        if n_classes > 6:  # (shape, color-group) grid — see _COLOR_GROUPS
+            shape, color = cls % 6, _COLOR_GROUPS[cls // 6]
         sh = s
-        if cls >= 3:  # non-square box: height drawn independently
+        if shape >= 3:  # non-square box: height drawn independently
             sh = int(rng.integers(min_size, max_size))
             sh = min(sh, h - y1 - 3)
-        draw_shape(img, cls, x1, y1, x1 + s, y1 + sh)
+        draw_shape(img, shape, x1, y1, x1 + s, y1 + sh, color=color)
         objs.append((cls, x1, y1, x1 + s, y1 + sh))
     return img, objs
 
@@ -105,8 +122,9 @@ def make_voc(out_root: str, n: int = 200, train_frac: float = 0.8,
         img, objs = render_scene(rng, n_classes=classes, max_objs=max_objs)
         h, w = img.shape[:2]
         cv2.imwrite(os.path.join(root, "JPEGImages", f"{name}.jpg"), img)
+        name_tab = VOC_CLASSES_20 if classes > 6 else VOC_SHAPE_CLASSES
         xo = "".join(
-            f"<object><name>{VOC_SHAPE_CLASSES[c]}</name>"
+            f"<object><name>{name_tab[c]}</name>"
             f"<difficult>0</difficult><bndbox><xmin>{a}</xmin>"
             f"<ymin>{b}</ymin><xmax>{cc}</xmax><ymax>{d}</ymax>"
             f"</bndbox></object>" for c, a, b, cc, d in objs)
@@ -140,19 +158,25 @@ def make_coco(out_root: str, n: int = 80, train_frac: float = 0.75,
                                      n_classes=classes, max_objs=max_objs)
             h, w = img.shape[:2]
             name = f"{i + 1:012}.jpg"
+            cat_tab = COCO_SHAPE_CATS_20 if classes > 6 else COCO_SHAPE_CATS
             for cls, x1, y1, x2, y2 in objs:
                 bw, bh = x2 - x1, y2 - y1
                 anns.append({"id": aid, "image_id": i + 1,
-                             "category_id": COCO_SHAPE_CATS[cls],
+                             "category_id": cat_tab[cls],
                              "bbox": [x1, y1, bw, bh], "area": bw * bh,
                              "iscrowd": 0})
                 aid += 1
             cv2.imwrite(os.path.join(out_root, split, name), img)
             images.append({"id": i + 1, "file_name": name,
                            "width": w, "height": h})
+        if classes > 6:
+            cats = [{"id": c, "name": f"shape{j}"}
+                    for j, c in enumerate(COCO_SHAPE_CATS_20)]
+        else:
+            cats = [{"id": c, "name": nm} for c, nm in
+                    zip(COCO_SHAPE_CATS, COCO_SHAPE_NAMES)]
         blob = {"images": images, "annotations": anns,
-                "categories": [{"id": c, "name": nm} for c, nm in
-                               zip(COCO_SHAPE_CATS, COCO_SHAPE_NAMES)]}
+                "categories": cats}
         with open(os.path.join(out_root, "annotations",
                                f"instances_{split}.json"), "w") as f:
             json.dump(blob, f)
@@ -166,9 +190,10 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=None, help="total images")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--train_frac", type=float, default=None)
-    p.add_argument("--classes", type=int, default=None, choices=range(1, 7),
+    p.add_argument("--classes", type=int, default=None, choices=[*range(1, 7), 20],
                    help="number of shape classes (default 3; 6 adds "
-                        "non-square ellipse/cross/ring)")
+                        "non-square ellipse/cross/ring; 20 = the full-VOC "
+                        "shape x color-group grid)")
     p.add_argument("--max_objs", type=int, default=None)
     args = p.parse_args(argv)
     kw = {k: v for k, v in (("n", args.n), ("seed", args.seed),
