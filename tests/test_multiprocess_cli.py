@@ -106,13 +106,25 @@ def _train_args(root: str, save: str) -> list:
             "--seed", "0", "--save_folder", save]
 
 
+def _with_args(argv: list, **overrides) -> list:
+    """Return argv with --key value flags replaced/appended."""
+    out = list(argv)
+    for key, val in overrides.items():
+        flag = f"--{key}"
+        if flag in out:
+            out[out.index(flag) + 1] = str(val)
+        else:
+            out += [flag, str(val)]
+    return out
+
+
 def _read_log(save: str) -> list:
     path = os.path.join(save, "voc", "yolo_nano", "train_log.jsonl")
     with open(path) as f:
         return [json.loads(line) for line in f]
 
 
-def _load_ckpt_tree(save: str) -> dict:
+def _load_ckpt_tree(save: str, step: int | None = None) -> dict:
     """Restore as plain numpy, ignoring saved shardings — the multiprocess
     checkpoint records process-1 device ids (2048+) that no other topology
     can materialize."""
@@ -120,7 +132,8 @@ def _load_ckpt_tree(save: str) -> dict:
     import orbax.checkpoint as ocp
 
     d = os.path.join(save, "voc", "yolo_nano", "ckpt")
-    step = max(int(s) for s in os.listdir(d) if s.isdigit())
+    step = max(int(s) for s in os.listdir(d) if s.isdigit()
+               ) if step is None else step
     path = os.path.join(d, str(step), "default")
     ckptr = ocp.PyTreeCheckpointer()
     try:
@@ -222,3 +235,67 @@ def test_multiprocess_cli_matches_single_process(tmp_path):
     assert abs(na - nb) <= 0.02 * na, (na, nb)
     cos = float(a @ b) / (na * nb)
     assert cos > 0.99, cos
+
+
+def test_multiprocess_cli_resume(tmp_path):
+    """--resume auto under jax.distributed: every controller restores the
+    full train state through orbax (the multi-host RESTORE path — the test
+    above only exercises the multi-host save), training continues at the
+    epoch derived from the restored step, and the continued run checkpoints
+    at the continued step. The reference cannot resume at all beyond bare
+    weights (reference train.py:49-50,160-162 — no optimizer/EMA state).
+
+    lr 0 makes the invariants exact: params in the step-12 checkpoint must
+    be BIT-IDENTICAL to the step-6 checkpoint they were restored from (zero
+    updates), while the BN running stats must keep moving (epochs 2-3 data
+    flowed through the restored state).
+    """
+    import shutil
+
+    from tools.make_synthetic_data import main as make_data
+
+    root = str(tmp_path / "voc")
+    make_data(["voc", root, "--n", "30"])  # 24 train → 3 iters/epoch
+    cache = str(tmp_path / "xla_cache")
+
+    outs_a, save_a = _run_controllers(
+        lambda attempt: (
+            [sys.executable] + _train_args(root,
+                                           str(tmp_path / f"a{attempt}")),
+            str(tmp_path / f"a{attempt}")),
+        n_proc=2, devices_per_proc=2, cache_dir=cache)
+
+    def resume_args(attempt):
+        save = str(tmp_path / f"r{attempt}")
+        # fresh copy of the finished run per attempt: a Gloo-timeout retry
+        # must not resume from a log/ckpt polluted by the failed attempt
+        shutil.copytree(save_a, save)
+        argv = _with_args(_train_args(root, save),
+                          max_epoch=4, resume="auto")
+        return [sys.executable] + argv, save
+
+    outs_r, save_r = _run_controllers(resume_args, n_proc=2,
+                                      devices_per_proc=2, cache_dir=cache)
+
+    # process 0 restored and derived the continuation epoch (process 1's
+    # stdout is muted; its successful restore is pinned by returncode 0 —
+    # a failed orbax barrier would hang or crash it)
+    assert "resumed @ step 6 (epoch 2)" in outs_r[0][0], outs_r[0][0][-2000:]
+    # log continued in place: epochs 0,1 from the first run + 2,3 appended
+    assert [e["epoch"] for e in _read_log(save_r)] == [0, 1, 2, 3]
+    # the continued run ran its eval hook (epoch-3) and checkpointed @ 12
+    assert "Mean AP" in outs_r[0][0]
+    step, tree12 = _load_ckpt_tree(save_r)
+    assert step == 12
+    _, tree6 = _load_ckpt_tree(save_r, step=6)
+    import jax
+
+    for (kp, l6), (_, l12) in zip(
+            jax.tree_util.tree_leaves_with_path(tree6["params"]),
+            jax.tree_util.tree_leaves_with_path(tree12["params"])):
+        np.testing.assert_array_equal(np.asarray(l6), np.asarray(l12),
+                                      err_msg=jax.tree_util.keystr(kp))
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(tree6["stats"]),
+                                jax.tree.leaves(tree12["stats"])))
+    assert moved, "BN stats frozen across the resumed epochs"
