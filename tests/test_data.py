@@ -317,3 +317,85 @@ def test_loader_surfaces_worker_exceptions(tmp_path):
     loader = DetectionLoader(BadDataset(), batch_size=2, num_workers=2)
     with _pytest.raises(RuntimeError, match="corrupt image"):
         next(iter(loader))
+
+
+def test_letterbox_geometry_matches_resize_letterbox():
+    """letterbox_geometry must reproduce resize_letterbox's scale/offset
+    from (h0, w0, size) alone — the sharded multi-controller evaluator
+    builds every row's letterbox-undo meta from annotation-declared sizes
+    without decoding pixels (data/loader.py EvalLoader process_shard)."""
+    from yolo_nano_tpu.data.transforms import letterbox_geometry
+
+    rng = np.random.default_rng(11)
+    cases = [(100, 140), (140, 100), (64, 64), (1, 999), (999, 1),
+             (480, 360), (333, 500)]
+    cases += [(int(rng.integers(1, 1200)), int(rng.integers(1, 1200)))
+              for _ in range(40)]
+    for h0, w0 in cases:
+        img = np.zeros((h0, w0, 3), np.uint8)
+        for size in (64, 320, 416, 608):
+            _, _, scale, offset = resize_letterbox(img, size)
+            g_scale, g_offset = letterbox_geometry(h0, w0, size)
+            np.testing.assert_array_equal(scale, g_scale, err_msg=f"{h0}x{w0}@{size}")
+            np.testing.assert_array_equal(offset, g_offset, err_msg=f"{h0}x{w0}@{size}")
+
+
+def test_eval_loader_process_shard_union_equals_global(tmp_path):
+    """Sharded eval loading: each controller decodes only its rows of every
+    global batch, while metas (built from XML sizes, no decode) cover all
+    real rows and match the single-process loader's exactly."""
+    from yolo_nano_tpu.data.loader import EvalLoader
+
+    ds = _tiny_voc(tmp_path, n=7)
+    whole = list(EvalLoader(ds, img_size=64, batch_size=4, num_workers=2))
+    shards = [list(EvalLoader(ds, img_size=64, batch_size=4, num_workers=2,
+                              process_shard=(pid, 2)))
+              for pid in range(2)]
+    assert len(whole) == len(shards[0]) == len(shards[1]) == 2
+    for bi, (iw, mw) in enumerate(whole):
+        ii = np.concatenate([shards[0][bi][0], shards[1][bi][0]])
+        assert shards[0][bi][0].shape[0] == 2  # local rows only
+        np.testing.assert_array_equal(iw, ii)
+        for ma, mb in zip(mw, shards[0][bi][1]):
+            assert ma["id"] == mb["id"] and ma["index"] == mb["index"]
+            assert (ma["w"], ma["h"]) == (mb["w"], mb["h"])
+            np.testing.assert_array_equal(ma["scale"], mb["scale"])
+            np.testing.assert_array_equal(ma["offset"], mb["offset"])
+        # both processes see the same full meta list
+        assert [m["id"] for m in shards[0][bi][1]] == \
+            [m["id"] for m in shards[1][bi][1]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide evenly"):
+        EvalLoader(ds, img_size=64, batch_size=3, process_shard=(0, 2))
+
+
+def test_image_hw_reads_metadata_without_decode(tmp_path, monkeypatch):
+    """VOC image_hw comes from the XML <size> element (no JPEG decode);
+    XMLs without <size> fall back to decoding."""
+    import cv2
+
+    from yolo_nano_tpu.data.voc import VOCDataset
+
+    d = tmp_path / "VOC2007"
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (d / sub).mkdir(parents=True)
+    img = np.zeros((120, 90, 3), np.uint8)
+    cv2.imwrite(str(d / "JPEGImages" / "a.jpg"), img)
+    cv2.imwrite(str(d / "JPEGImages" / "b.jpg"), img)
+    (d / "Annotations" / "a.xml").write_text(
+        "<annotation><size><width>90</width><height>120</height></size>"
+        "</annotation>")
+    (d / "Annotations" / "b.xml").write_text("<annotation></annotation>")
+    (d / "ImageSets" / "Main" / "test.txt").write_text("a\nb")
+    ds = VOCDataset(str(tmp_path), img_size=64,
+                    image_sets=[("2007", "test")])
+
+    calls = []
+    real = cv2.imread
+    monkeypatch.setattr(cv2, "imread",
+                        lambda *a, **k: calls.append(a) or real(*a, **k))
+    assert ds.image_hw(0) == (120, 90)
+    assert calls == []          # metadata path: no decode
+    assert ds.image_hw(1) == (120, 90)
+    assert len(calls) == 1      # fallback decoded exactly once

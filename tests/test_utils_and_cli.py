@@ -193,3 +193,15 @@ def test_compile_cache_cpu_gating(tmp_path, monkeypatch):
     monkeypatch.setenv("YNT_COMPILE_CACHE", "0")
     assert enable() is None
     assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_runbook_dryrun(tmp_path):
+    """docs/REAL_DATA_RUNBOOK.md executes end-to-end on a synthetic
+    VOCdevkit tree: synthesized torchvision .pth → converter →
+    train --pretrained (real lr, ms+mosaic+EMA+device-augment) → eval at
+    three resolutions → export → load_predictor (+threshold override) →
+    k-means anchors. Zero missing glue for the day real data is reachable
+    (round-4 VERDICT Next #5)."""
+    from tools.runbook_dryrun import run
+
+    run(str(tmp_path))

@@ -140,8 +140,18 @@ def make_voc(out_root: str, n: int = 200, train_frac: float = 0.8,
           f"→ {out_root}")
 
 
+# the standard 80 COCO detection category ids (1..90 minus the 10 unused
+# slots) — declared in full by --full_cats so an 80-class model/evaluator
+# run sees the real category table even though only the shape classes carry
+# annotations (reference class_ids = sorted(getCatIds()), data/coco.py:67)
+COCO_80_CAT_IDS = tuple(
+    i for i in range(1, 91)
+    if i not in (12, 26, 29, 30, 45, 66, 68, 69, 71, 83))
+
+
 def make_coco(out_root: str, n: int = 80, train_frac: float = 0.75,
-              seed: int = 7, classes: int = 3, max_objs: int = 3) -> None:
+              seed: int = 7, classes: int = 3, max_objs: int = 3,
+              full_cats: bool = False) -> None:
     import cv2
 
     os.makedirs(os.path.join(out_root, "annotations"), exist_ok=True)
@@ -169,7 +179,9 @@ def make_coco(out_root: str, n: int = 80, train_frac: float = 0.75,
             cv2.imwrite(os.path.join(out_root, split, name), img)
             images.append({"id": i + 1, "file_name": name,
                            "width": w, "height": h})
-        if classes > 6:
+        if full_cats:
+            cats = [{"id": c, "name": f"cat{c}"} for c in COCO_80_CAT_IDS]
+        elif classes > 6:
             cats = [{"id": c, "name": f"shape{j}"}
                     for j, c in enumerate(COCO_SHAPE_CATS_20)]
         else:
@@ -195,11 +207,18 @@ def main(argv=None):
                         "non-square ellipse/cross/ring; 20 = the full-VOC "
                         "shape x color-group grid)")
     p.add_argument("--max_objs", type=int, default=None)
+    p.add_argument("--full_cats", action="store_true", default=None,
+                   help="(coco) declare ALL 80 standard COCO categories in "
+                        "the instances json, so models/evaluators run the "
+                        "real 80-class path (shapes annotate a subset)")
     args = p.parse_args(argv)
+    if args.full_cats and args.format != "coco":
+        p.error("--full_cats only applies to the coco format")
     kw = {k: v for k, v in (("n", args.n), ("seed", args.seed),
                             ("train_frac", args.train_frac),
                             ("classes", args.classes),
-                            ("max_objs", args.max_objs))
+                            ("max_objs", args.max_objs),
+                            ("full_cats", args.full_cats))
           if v is not None}
     (make_voc if args.format == "voc" else make_coco)(args.out_root, **kw)
 

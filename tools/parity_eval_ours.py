@@ -28,19 +28,33 @@ def main(argv=None):
                    help="NMS candidate budget; 0 → unbounded like the "
                         "reference (models/yolo_nano.py:258)")
     p.add_argument("--max_det", type=int, default=128)
+    p.add_argument("--dataset", default="voc", choices=["voc", "coco"],
+                   help="coco: score with the native AP@[.5:.95] COCOEval "
+                        "(the COCO-protocol head-to-head side, pairing "
+                        "tools/parity_train_reference_coco.py)")
     args = p.parse_args(argv)
 
     from yolo_nano_tpu.cli.common import build_config, make_predict_fn
     from yolo_nano_tpu.cli.eval import load_weights
-    from yolo_nano_tpu.evaluation.evaluator import VOCEvaluator
+    from yolo_nano_tpu.evaluation.evaluator import COCOEvaluator, VOCEvaluator
 
-    cfg = build_config("voc")
+    cfg = build_config(args.dataset)
     pre_topk = args.pre_topk or cfg.num_predictions(args.img_size)
-    cfg = build_config("voc", nms_pre_topk=pre_topk,
+    cfg = build_config(args.dataset, nms_pre_topk=pre_topk,
                        max_detections=args.max_det)
     params, stats = load_weights(args.weight, cfg, args.ema)
     predict = make_predict_fn(params, stats, cfg, args.img_size,
                               dtype=args.dtype)
+
+    if args.dataset == "coco":
+        ev = COCOEvaluator(args.root, args.img_size,
+                           batch_size=args.batch_size, num_workers=2)
+        ev.evaluate(predict)
+        print(json.dumps({"framework": "yolo_nano_tpu", "protocol": "coco",
+                          "seed": args.seed, "img_size": args.img_size,
+                          "stats": {k: round(float(v), 4)
+                                    for k, v in ev.stats.items()}}))
+        return 0
 
     ev = VOCEvaluator(args.root, args.img_size, batch_size=args.batch_size,
                       num_workers=2)

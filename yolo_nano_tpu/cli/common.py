@@ -65,7 +65,8 @@ def _predict_jit(cfg: YoloNanoConfig, input_size: int, bf16: bool):
 
 def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
                     fold: bool = True, dtype: str = "bfloat16",
-                    mesh=None, process_shard=None) -> Callable:
+                    mesh=None, process_shard=None,
+                    local_rows: bool = False) -> Callable:
     """Compiled batched inference closure: images → detections.
     Applies conv-BN folding at build time (the reference folds only in
     benchmark.py:140-141; here it is the default serving path).
@@ -80,7 +81,12 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
     FULL global host batch on every process, materializes only this
     process's rows (jax.make_array_from_process_local_data), and returns
     fully-REPLICATED detections so every controller can fetch them — the
-    evaluators then run in lockstep on identical results."""
+    evaluators then run in lockstep on identical results.
+
+    local_rows=True (with process_shard): the closure takes ONLY this
+    process's rows [B/count, S, S, 3] directly — paired with
+    EvalLoader(process_shard=…), which decodes just those rows, so eval
+    host IO is O(dataset/hosts) instead of O(dataset) per host."""
     import jax
     import jax.numpy as jnp
 
@@ -94,6 +100,9 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
 
         params = cast_f32_to_bf16(params)
 
+    if local_rows and process_shard is None:
+        raise ValueError("local_rows=True only makes sense with "
+                         "process_shard (multi-controller mode)")
     if mesh is None:
         if process_shard is not None:
             raise ValueError("process_shard needs a global mesh")
@@ -128,6 +137,14 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
         return sharded
 
     pid, count = process_shard
+
+    if local_rows:
+        def sharded_mp_local(local):
+            local = np.ascontiguousarray(np.asarray(local))
+            x = jax.make_array_from_process_local_data(data, local)
+            return sharded_jit(x)
+
+        return sharded_mp_local
 
     def sharded_mp(images):
         images = np.asarray(images)

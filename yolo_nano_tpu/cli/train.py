@@ -156,13 +156,17 @@ def main(argv=None):
                              image_sets=sets, mosaic=args.mosaic)
         evaluator = VOCEvaluator(args.root, args.eval_size,
                                  batch_size=args.batch_size,
-                                 num_workers=args.num_workers)
+                                 num_workers=args.num_workers,
+                                 process_shard=(pid, pcount) if pcount > 1
+                                 else None)
     else:
         dataset = COCODataset(args.root, image_set="train2017",
                               img_size=args.img_size, mosaic=args.mosaic)
         evaluator = COCOEvaluator(args.root, args.eval_size,
                                   batch_size=args.batch_size,
-                                  num_workers=args.num_workers)
+                                  num_workers=args.num_workers,
+                                  process_shard=(pid, pcount) if pcount > 1
+                                  else None)
 
     # mosaic merges 4 images' ground truth — scale the padding budget so
     # crowded mosaics don't silently truncate boxes
@@ -378,7 +382,8 @@ def main(argv=None):
             # batch is mesh-divisible)
             predict_fn = make_predict_fn(
                 eval_params, eval_stats, cfg, args.eval_size, mesh=mesh,
-                process_shard=(pid, pcount) if pcount > 1 else None)
+                process_shard=(pid, pcount) if pcount > 1 else None,
+                local_rows=pcount > 1)
             evaluator.evaluate(predict_fn)
             ckpt.save(int(state.step), state)
             print(f"saved checkpoint @ step {int(state.step)}")

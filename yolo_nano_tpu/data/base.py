@@ -48,6 +48,15 @@ class DetectionDatasetBase:
     def load_img_targets(self, index: int):
         raise NotImplementedError
 
+    def image_hw(self, index: int):
+        """(h, w) of the raw image — subclasses override with a metadata
+        read (VOC XML <size>, COCO images index) so callers can build
+        letterbox-undo geometry without decoding pixels (the sharded
+        multi-controller evaluator needs every row's geometry but decodes
+        only its own shard). Fallback: decode."""
+        _, _, h, w = self._load(index)
+        return h, w
+
     def _load(self, index: int):
         if self._img_cache is None:
             return self.load_img_targets(index)

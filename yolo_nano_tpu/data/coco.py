@@ -74,6 +74,15 @@ class COCODataset(DetectionDatasetBase):
         name = info.get("file_name", "{:012}.jpg".format(img_id))
         return os.path.join(self.data_dir, self.image_set, name)
 
+    def image_hw(self, index: int):
+        """(h, w) from the instances-json images index — no JPEG decode.
+        Falls back to decoding when the index omits the dims."""
+        info = self._img_info[self.ids[index]]
+        h, w = info.get("height", 0), info.get("width", 0)
+        if h > 0 and w > 0:
+            return int(h), int(w)
+        return super().image_hw(index)
+
     def load_img_targets(self, index: int):
         """(img_bgr, target [M,5] normalized, h, w)
         (reference data/coco.py:85-126 semantics)."""

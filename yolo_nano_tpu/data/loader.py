@@ -311,20 +311,43 @@ class EvalLoader:
     """Deterministic batched eval pipeline: yields
     (images, metas) where metas is a list of dicts with scale/offset/size/id.
     The last batch is padded by repeating the final image (fixed shapes);
-    `metas` has one entry per REAL image only."""
+    `metas` has one entry per REAL image only.
+
+    process_shard=(process_index, process_count): multi-controller mode —
+    `batch_size` stays the GLOBAL batch; this process decodes + letterboxes
+    ONLY rows [pid·B/n, (pid+1)·B/n) of every global batch (host IO is
+    O(dataset/hosts)), while `metas` still covers ALL real rows: their
+    letterbox-undo geometry comes from annotation-declared image sizes
+    (dataset.image_hw → transforms.letterbox_geometry), no pixel decode.
+    Feed the local rows through a make_predict_fn(..., process_shard=…,
+    local_rows=True) closure; its replicated detections + the full metas
+    make every controller's evaluation identical to single-process."""
 
     def __init__(self, dataset, img_size: int, batch_size: int,
-                 num_workers: int = 4):
+                 num_workers: int = 4,
+                 process_shard: "Tuple[int, int] | None" = None):
         self.dataset = dataset
         self.img_size = img_size
         self.batch_size = batch_size
         self.num_workers = max(num_workers, 1)
+        if process_shard is not None:
+            pid, count = process_shard
+            if not (0 <= pid < count):
+                raise ValueError(f"bad process_shard {process_shard!r}")
+            if batch_size % count:
+                raise ValueError(
+                    f"global eval batch {batch_size} must divide evenly "
+                    f"over {count} processes")
+        self.process_shard = process_shard
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
 
     def __iter__(self):
-        from yolo_nano_tpu.data.transforms import val_transform
+        from yolo_nano_tpu.data.transforms import (
+            letterbox_geometry,
+            val_transform,
+        )
 
         def load_one(i: int):
             img_bgr, img_id = self.dataset.pull_image(i)
@@ -333,12 +356,35 @@ class EvalLoader:
             return img, {"scale": scale, "offset": offset, "w": w, "h": h,
                          "id": img_id, "index": i}
 
+        def meta_only(i: int):
+            # geometry from annotation metadata — identical to what
+            # load_one would compute (letterbox_geometry is pinned against
+            # resize_letterbox), no JPEG decode
+            h, w = self.dataset.image_hw(i)
+            scale, offset = letterbox_geometry(h, w, self.img_size)
+            return {"scale": scale, "offset": offset, "w": w, "h": h,
+                    "id": self.dataset.ids[i], "index": i}
+
         n = len(self.dataset)
+        shard = self.process_shard
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for lo in range(0, n, self.batch_size):
                 hi = min(lo + self.batch_size, n)
-                items = list(pool.map(load_one, range(lo, hi)))
-                images = [it[0] for it in items]
-                while len(images) < self.batch_size:  # pad final batch
-                    images.append(images[-1])
-                yield np.stack(images), [it[1] for it in items]
+                if shard is None:
+                    items = list(pool.map(load_one, range(lo, hi)))
+                    images = [it[0] for it in items]
+                    while len(images) < self.batch_size:  # pad final batch
+                        images.append(images[-1])
+                    yield np.stack(images), [it[1] for it in items]
+                    continue
+                pid, count = shard
+                per = self.batch_size // count
+                # pad the global index list (repeat the final index) so the
+                # final ragged batch still splits evenly over processes
+                idxs = list(range(lo, hi))
+                idxs += [hi - 1] * (self.batch_size - len(idxs))
+                local = idxs[pid * per:(pid + 1) * per]
+                imgs = list(pool.map(
+                    lambda i: load_one(i)[0], local))
+                metas = list(pool.map(meta_only, range(lo, hi)))
+                yield np.stack(imgs), metas

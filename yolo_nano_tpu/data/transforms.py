@@ -191,6 +191,29 @@ def resize_letterbox(img, size: int, boxes: Optional[np.ndarray] = None,
     return canvas, boxes, scale, offset
 
 
+def letterbox_geometry(h0: int, w0: int, size: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """(scale[4], offset[4]) that `resize_letterbox` would produce for an
+    (h0, w0) image — WITHOUT touching pixels. The letterbox mapping depends
+    only on (h0, w0, size): cv2.resize returns exactly the requested dims,
+    so scale/offset are pure arithmetic. Evaluation metas can therefore be
+    built from annotation-declared image sizes alone; the multi-controller
+    evaluator uses this to keep letterbox-undo info for ALL rows while
+    decoding only its own shard (pinned identical to resize_letterbox in
+    tests/test_data.py)."""
+    if h0 > w0:
+        w = max(int(w0 / h0 * size), 1)
+        left = (size - w) // 2
+        return (np.array([w / size, 1.0, w / size, 1.0], np.float32),
+                np.array([left / size, 0.0, left / size, 0.0], np.float32))
+    if h0 < w0:
+        h = max(int(h0 / w0 * size), 1)
+        top = (size - h) // 2
+        return (np.array([1.0, h / size, 1.0, h / size], np.float32),
+                np.array([0.0, top / size, 0.0, top / size], np.float32))
+    return np.ones(4, np.float32), np.zeros(4, np.float32)
+
+
 def letterbox_undo(boxes, scale, offset, orig_w: int, orig_h: int):
     """Map normalized letterboxed boxes back to original pixel coordinates
     (inverse of resize_letterbox; used by the evaluators like reference

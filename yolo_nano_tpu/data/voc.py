@@ -92,6 +92,18 @@ class VOCDataset(DetectionDatasetBase):
         img_id = self.ids[index]
         return cv2.imread(self._img_path(img_id), cv2.IMREAD_COLOR), img_id
 
+    def image_hw(self, index: int):
+        """(h, w) from the annotation's <size> element — no JPEG decode.
+        Falls back to decoding when the XML omits/zeroes the size."""
+        root = ET.parse(self._anno_path(self.ids[index])).getroot()
+        size = root.find("size")
+        if size is not None:
+            w = int(float(size.find("width").text))
+            h = int(float(size.find("height").text))
+            if h > 0 and w > 0:
+                return h, w
+        return super().image_hw(index)
+
     def pull_anno(self, index: int):
         """(image name, [[x1,y1,x2,y2,label] in −1-shifted pixel coords])
         (reference data/voc.py:253-268)."""

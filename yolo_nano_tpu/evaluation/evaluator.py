@@ -43,14 +43,22 @@ def parse_rec_raw(path: str) -> List[dict]:
 
 def _run_batched(dataset, img_size: int, batch_size: int,
                  predict_fn: Callable, num_workers: int = 4,
-                 verbose: bool = True):
+                 verbose: bool = True, process_shard=None):
     """Yields (meta, boxes [D,4] original-frame pixels, scores [D],
     classes [D]) per real image.
 
     Pipelined: batch i+1's inference is dispatched (async) before batch i's
     results are fetched to host, overlapping device compute with host-side
-    letterbox-undo and bookkeeping."""
-    loader = EvalLoader(dataset, img_size, batch_size, num_workers)
+    letterbox-undo and bookkeeping.
+
+    process_shard=(pid, count): multi-controller mode — the loader decodes
+    only this process's rows of each global batch (EvalLoader docstring);
+    predict_fn must be a make_predict_fn(..., process_shard=…,
+    local_rows=True) closure, whose REPLICATED detections cover the full
+    global batch, so the per-image stream below is identical on every
+    controller (and to a single-process run)."""
+    loader = EvalLoader(dataset, img_size, batch_size, num_workers,
+                        process_shard=process_shard)
     done = 0
 
     def batches():
@@ -84,7 +92,7 @@ class VOCEvaluator:
     def __init__(self, data_dir: str, img_size: int, set_type: str = "test",
                  year: str = "2007", batch_size: int = 32,
                  num_workers: int = 4, display: bool = False,
-                 dump_dir: str | None = None):
+                 dump_dir: str | None = None, process_shard=None):
         self.dataset = VOCDataset(data_dir, img_size=img_size,
                                   image_sets=[(year, set_type)],
                                   augment=False, keep_difficult=True)
@@ -94,17 +102,20 @@ class VOCEvaluator:
         self.display = display
         self.set_type = set_type
         self.dump_dir = dump_dir
+        self.process_shard = process_shard
         self.map = 0.0
         self.aps: Dict[str, float] = {}
         self._gt_cache: Dict[str, List[dict]] = {}  # parsed once, reused
         # (the reference pickles parsed annotations for the same reason,
         # vocapi_evaluator.py:241-257)
+        self._gt_by_class: Dict[str, dict] = {}  # per-class tables, ditto
 
     def evaluate(self, predict_fn: Callable) -> float:
         per_class: List[List] = [[] for _ in VOC_CLASSES]
         for meta, boxes, scores, classes in _run_batched(
                 self.dataset, self.img_size, self.batch_size, predict_fn,
-                self.num_workers, verbose=self.display):
+                self.num_workers, verbose=self.display,
+                process_shard=self.process_shard):
             name = meta["id"][1]
             for b, s, c in zip(boxes, scores, classes):
                 per_class[int(c)].append((name, float(s), b))
@@ -112,26 +123,27 @@ class VOCEvaluator:
         if self.dump_dir:
             self._dump_detections(per_class)
 
-        # raw-XML ground truth per class (parsed on the first evaluate only —
-        # the training eval hook calls this every N epochs)
+        # raw-XML ground truth per class (parsed + tabulated on the first
+        # evaluate only — the training eval hook calls this every N epochs)
         if not self._gt_cache:
             for idx in range(len(self.dataset)):
                 img_id = self.dataset.ids[idx]
                 self._gt_cache[img_id[1]] = parse_rec_raw(
                     self.dataset._anno_path(img_id))
-        gt_cache = self._gt_cache
+            for cls in VOC_CLASSES:
+                self._gt_by_class[cls] = {
+                    name: {
+                        "bbox": np.array(
+                            [o["bbox"] for o in recs if o["name"] == cls]
+                        ).reshape(-1, 4),
+                        "difficult": np.array(
+                            [bool(o["difficult"]) for o in recs
+                             if o["name"] == cls], bool),
+                    } for name, recs in self._gt_cache.items()}
 
         aps = []
         for ci, cls in enumerate(VOC_CLASSES):
-            gt_by_image = {}
-            for name, recs in gt_cache.items():
-                r = [o for o in recs if o["name"] == cls]
-                gt_by_image[name] = {
-                    "bbox": np.array([o["bbox"] for o in r]).reshape(-1, 4),
-                    "difficult": np.array([bool(o["difficult"]) for o in r],
-                                          bool),
-                }
-            _, _, ap = voc_eval_class(per_class[ci], gt_by_image,
+            _, _, ap = voc_eval_class(per_class[ci], self._gt_by_class[cls],
                                       ovthresh=0.5, use_07_metric=True)
             self.aps[cls] = ap
             aps.append(ap)
@@ -180,7 +192,7 @@ class COCOEvaluator:
     def __init__(self, data_dir: str, img_size: int,
                  image_set: str = "val2017", batch_size: int = 32,
                  num_workers: int = 4, testset: bool = False,
-                 dump_path: str | None = None):
+                 dump_path: str | None = None, process_shard=None):
         from yolo_nano_tpu.data.coco import COCODataset
 
         self.dataset = COCODataset(data_dir, image_set=image_set,
@@ -190,6 +202,7 @@ class COCOEvaluator:
         self.num_workers = num_workers
         self.testset = testset
         self.dump_path = dump_path
+        self.process_shard = process_shard
         self.map = 0.0
         self.ap50_95 = 0.0
         self.ap50 = 0.0
@@ -199,7 +212,7 @@ class COCOEvaluator:
         data_dict = []
         for meta, boxes, scores, classes in _run_batched(
                 self.dataset, self.img_size, self.batch_size, predict_fn,
-                self.num_workers):
+                self.num_workers, process_shard=self.process_shard):
             img_id = int(meta["id"])
             for b, s, c in zip(boxes, scores, classes):
                 if int(c) >= len(self.dataset.class_ids):

@@ -119,7 +119,12 @@ def bucket_batches(predict_fn: Callable, buckets, img_shape=None,
 
 def load_predictor(artifact_dir: str, mesh=None,
                    prefer_params: bool = False,
-                   batch_buckets=None) -> Callable:
+                   batch_buckets=None,
+                   conf_thresh: float | None = None,
+                   nms_thresh: float | None = None,
+                   diou_nms: bool | None = None,
+                   pre_topk: int | None = None,
+                   max_det: int | None = None) -> Callable:
     """Load an exported artifact → predict_fn(images) → (boxes, scores,
     classes, valid). `images`: [B, S, S, 3] float32 RGB, normalized like
     data.transforms.val_transform output. Pass a mesh for multi-chip
@@ -130,6 +135,13 @@ def load_predictor(artifact_dir: str, mesh=None,
     load path, any batch size (symbolic dim). The parameter path is used
     when the file is absent, `prefer_params=True`, or a mesh is given (the
     serialized graph is single-device).
+
+    conf_thresh / nms_thresh / diou_nms / pre_topk / max_det override the
+    thresholds the artifact was exported with. The serialized stablehlo
+    graph bakes them in (it replays verbatim), so ANY override routes the
+    load through the parameter path automatically — same weights, freshly
+    traced postprocess. Note max_det/pre_topk change the fixed output
+    shapes.
 
     batch_buckets (e.g. (1, 8, 32, 128), or "auto" for the measured ladder
     from assets/autotune_batch.json via `default_buckets`): serve ragged
@@ -144,7 +156,23 @@ def load_predictor(artifact_dir: str, mesh=None,
     from yolo_nano_tpu.utils.checkpoint import load_params
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
-    cfg, meta = load_artifact_config(artifact_dir)
+    overrides = {k: v for k, v in (
+        ("conf_thresh", conf_thresh), ("nms_thresh", nms_thresh),
+        ("diou_nms", diou_nms), ("nms_pre_topk", pre_topk),
+        ("max_detections", max_det)) if v is not None}
+    if overrides:
+        # the stablehlo graph replays its baked thresholds verbatim —
+        # overrides force the re-traced parameter path
+        prefer_params = True
+        if not os.path.isdir(os.path.join(artifact_dir, "params")):
+            raise ValueError(
+                f"threshold overrides {sorted(overrides)} need the "
+                f"parameter path, but {artifact_dir} has no params/ dir — "
+                "re-export the artifact (cli/export.py always writes "
+                "params/), or drop the overrides to replay the baked "
+                "stablehlo graph")
+
+    cfg, meta = load_artifact_config(artifact_dir, **overrides)
     img_shape = (meta["img_size"], meta["img_size"], 3)
     if batch_buckets == "auto":
         # autotuned ladder for this artifact's (backbone, resolution)
