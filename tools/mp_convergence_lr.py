@@ -29,6 +29,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # allow `python tools/mp_convergence_lr.py`
+    sys.path.insert(0, REPO)
 
 
 def _env(n_devices: int, cache_dir: str) -> dict:
@@ -90,18 +92,32 @@ def main(argv=None):
 
         make_data(["voc", root, "--n", "200"])  # 160 train / 40 test
 
+    def _done(save):  # final orbax step of the 60-epoch/10-iter recipe
+        return os.path.isdir(
+            os.path.join(save, "voc", "yolo_nano", "ckpt", "600"))
+
     # single-process baseline: 4 virtual devices (same global mesh)
     single_save = os.path.join(args.out, "single")
-    print("=== single-process (4 devices) ===", flush=True)
-    r = subprocess.run(
-        [sys.executable] + _train_args(root, single_save, args.seed),
-        env=_env(4, cache), cwd=REPO, capture_output=True, text=True,
-        timeout=7200)
-    assert r.returncode == 0, r.stderr[-3000:]
+    if _done(single_save):
+        print("=== single-process: already complete, skipping ===",
+              flush=True)
+    else:
+        print("=== single-process (4 devices) ===", flush=True)
+        r = subprocess.run(
+            [sys.executable] + _train_args(root, single_save, args.seed),
+            env=_env(4, cache), cwd=REPO, capture_output=True, text=True,
+            timeout=7200)
+        assert r.returncode == 0, r.stderr[-3000:]
 
     # the real 2-controller CLI, same global mesh, same recipe, REAL lr
-    print("=== 2 controllers x 2 devices, lr 2e-3 ===", flush=True)
     mp_save = os.path.join(args.out, "mp")
+    if _done(mp_save):
+        print("=== 2-controller: already complete, skipping ===", flush=True)
+        aps_single = _final_present_map(single_save, root)
+        aps_mp = _final_present_map(mp_save, root)
+        _report(aps_single, aps_mp, args.seed)
+        return
+    print("=== 2 controllers x 2 devices, lr 2e-3 ===", flush=True)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -119,6 +135,10 @@ def main(argv=None):
 
     aps_single = _final_present_map(single_save, root)
     aps_mp = _final_present_map(mp_save, root)
+    _report(aps_single, aps_mp, args.seed)
+
+
+def _report(aps_single: dict, aps_mp: dict, seed: int) -> None:
     m_s = sum(aps_single.values()) / len(aps_single)
     m_m = sum(aps_mp.values()) / len(aps_mp)
     print(json.dumps({"single_process_present_mAP": round(m_s, 4),
@@ -127,7 +147,7 @@ def main(argv=None):
                       "aps_single": aps_single, "aps_mp": aps_mp,
                       "recipe": "voc-synthetic 160/40, 160px, batch 16, "
                                 "lr 2e-3, 60 epochs, EMA, seed "
-                                + str(args.seed)}, indent=2))
+                                + str(seed)}, indent=2))
     # documented single-process seed noise at this recipe: 0.94-0.96
     # (3 seeds) → |Δ| ≤ 0.04 is within ~2 spreads
     assert abs(m_m - m_s) <= 0.04, (
