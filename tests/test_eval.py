@@ -165,6 +165,12 @@ def test_voc_evaluator_oracle_predictions_reach_full_map(synthetic_voc):
     for cls in ("dog", "car", "person"):
         assert ev.aps[cls] == pytest.approx(1.0, abs=1e-6)
     assert m == pytest.approx((3 - 17) / 20)
+    # gt_npos separates "absent class" from "failed class": a spurious
+    # detection for a no-gt class scores AP 0.0 under the reference
+    # protocol, so ap >= 0 alone cannot identify present classes
+    for cls in VOC_CLASSES:
+        expected_present = cls in ("dog", "car", "person")
+        assert (ev.gt_npos[cls] > 0) == expected_present
 
 
 @pytest.fixture(scope="module")

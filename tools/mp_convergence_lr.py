@@ -53,9 +53,12 @@ def _train_args(root: str, save: str, seed: int) -> list:
 
 
 def _final_present_map(save: str, root: str) -> dict:
-    """Score the final checkpoint's EMA weights at 160px; report
-    present-class APs (the 20-class CLI mean includes −1 sentinels for
-    absent classes — verify-skill gotcha)."""
+    """Score the final checkpoint's EMA weights at 160px; report APs for
+    classes that actually have ground truth (gt_npos > 0). Filtering on
+    `ap >= 0` is NOT enough after a real lr>0 run: a class with zero gt but
+    spurious low-conf detections scores AP 0.0 (reference protocol,
+    vocapi_evaluator.py:333-336), which would drag the mean toward 0 for
+    every absent class the model ever hallucinates once."""
     out = subprocess.run(
         [sys.executable, "-c", f"""
 import json
@@ -67,7 +70,7 @@ params, stats = load_weights({os.path.join(save, 'voc', 'yolo_nano', 'ckpt')!r},
 fn = make_predict_fn(params, stats, cfg, 160, dtype="float32")
 ev = VOCEvaluator({root!r}, 160, batch_size=16, num_workers=2)
 ev.evaluate(fn)
-present = {{k: v for k, v in ev.aps.items() if v >= 0}}
+present = {{k: v for k, v in ev.aps.items() if ev.gt_npos.get(k, 0) > 0}}
 print("RESULT " + json.dumps(present))
 """],
         env=_env(4, os.path.join(os.path.dirname(save), "xla_cache")),

@@ -32,6 +32,9 @@ import types
 import numpy as np
 
 REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # allow `python tools/parity_train_reference_coco.py`
+    sys.path.insert(0, REPO)
 
 
 def install_pycocotools_shim():
@@ -91,6 +94,23 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     install_pycocotools_shim()
+    # load OUR helper module under a non-colliding name: the name `tools`
+    # is contested from both sides — the reference ships a top-level
+    # tools.py MODULE (so `from tools.… import …` breaks once REFERENCE is
+    # on sys.path), while importing our tools/ PACKAGE would poison
+    # sys.modules for the reference model's own `import tools`
+    # (models/yolo_nano.py calls tools.iou_score). importlib sidesteps both.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ours_parity_voc",
+        os.path.join(REPO, "tools", "parity_train_reference.py"))
+    helper = importlib.util.module_from_spec(spec)
+    sys.modules["_ours_parity_voc"] = helper
+    spec.loader.exec_module(helper)
+    _load_reference_tools = helper._load_reference_tools
+    torch_predict_adapter = helper.torch_predict_adapter
+
     sys.path.insert(0, REFERENCE)
     import torch
     import torch.utils.model_zoo as model_zoo
@@ -102,11 +122,6 @@ def main(argv=None):
     torch.manual_seed(args.seed)
     np.random.seed(args.seed)
     random.seed(args.seed)
-
-    from tools.parity_train_reference import (
-        _load_reference_tools,
-        torch_predict_adapter,
-    )
 
     cwd = os.getcwd()
     os.chdir(REFERENCE)

@@ -105,6 +105,9 @@ class VOCEvaluator:
         self.process_shard = process_shard
         self.map = 0.0
         self.aps: Dict[str, float] = {}
+        self.gt_npos: Dict[str, int] = {}  # non-difficult gt per class;
+        # distinguishes "AP 0.0 because only spurious detections exist for a
+        # class with NO gt" from a genuinely-failed present class
         self._gt_cache: Dict[str, List[dict]] = {}  # parsed once, reused
         # (the reference pickles parsed annotations for the same reason,
         # vocapi_evaluator.py:241-257)
@@ -140,6 +143,9 @@ class VOCEvaluator:
                             [bool(o["difficult"]) for o in recs
                              if o["name"] == cls], bool),
                     } for name, recs in self._gt_cache.items()}
+            for cls, tab in self._gt_by_class.items():
+                self.gt_npos[cls] = sum(
+                    int((~g["difficult"]).sum()) for g in tab.values())
 
         aps = []
         for ci, cls in enumerate(VOC_CLASSES):
