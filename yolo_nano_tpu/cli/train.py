@@ -389,6 +389,12 @@ def main(argv=None):
             print(f"saved checkpoint @ step {int(state.step)}")
     ckpt.save(int(state.step), state, wait=True)
     log_f.close()
+    if pcount > 1:
+        # the run is durably saved; a shutdown-barrier race between
+        # controllers with exit skew must not fail the job
+        from yolo_nano_tpu.parallel.multiprocess import shutdown_tolerant
+
+        shutdown_tolerant()
 
 
 if __name__ == "__main__":

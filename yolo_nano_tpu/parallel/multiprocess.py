@@ -41,6 +41,43 @@ def initialize(coordinator_address: str, num_processes: int,
                                process_id=process_id, **kwargs)
 
 
+def shutdown_tolerant() -> None:
+    """Explicit jax.distributed.shutdown() that cannot fail a finished job.
+
+    Teardown runs a coordination-service shutdown barrier
+    (shutdown_timeout_seconds, default 300 s). On a fleet with exit skew —
+    a straggler finishing its last eval, an overloaded host — the barrier
+    can DEADLINE_EXCEEDED; left to JAX's atexit hook, that exception flips
+    an otherwise-successful process to a nonzero exit. By the time the
+    training driver calls this, all work is durably saved (the orbax save
+    has its own cross-host barrier), so a teardown race is worth a warning,
+    never a failed job. The reference has no multi-process path at all
+    (reference train.py:13-14 — DDP imported, never constructed).
+    """
+    import sys
+
+    import jax
+
+    try:
+        jax.distributed.shutdown()
+    except Exception as e:  # barrier timeout / coordinator already gone
+        print(f"[multiprocess] tolerating teardown failure after a "
+              f"completed run: {e}", file=sys.stderr)
+        # the failed disconnect leaves global_state.client set, and JAX's
+        # atexit hook would call client.shutdown() again and re-raise at
+        # interpreter exit — drop the remains so exit stays clean
+        from jax._src.distributed import global_state
+
+        global_state.preemption_sync_manager = None
+        global_state.client = None
+        try:
+            if global_state.service is not None:
+                global_state.service.shutdown()
+        except Exception:
+            pass
+        global_state.service = None
+
+
 def global_batch(mesh, *host_arrays, axis=None):
     """Per-process local host arrays → global batch-sharded jax.Arrays.
 
