@@ -87,9 +87,10 @@ def render_inputs(batch, size, seed=0):
 def render_crowd_inputs(batch, size, seed=2, grid=7, scene=640):
     """Crowd scenes: one non-overlapping shape per grid cell (grid², i.e. 49
     visible objects/scene), so the TRAINED model's own real detections put a
-    busy-real-COCO-like candidate load into NMS end-to-end — measured mean
-    45.5 (range 35-54) above-threshold candidates/img at conf 0.1 with the
-    shipped assets/bench_coco416 weights (round-4 VERDICT Weak #3; occluding
+    busy-real-COCO-like candidate load into NMS end-to-end — measured
+    ~35-55 above-threshold candidates/img at conf 0.1 with the shipped
+    assets/bench_coco416 weights across runs (40.4 in the round-5 bench of
+    record, PARITY.md; round-4 VERDICT Weak #3; occluding
     random placement caps out near 6/img because this model only scores
     cleanly visible objects). Grid placement is the load generator, not the
     realism claim: what's realistic is the RESULTING candidate count."""

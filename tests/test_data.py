@@ -383,11 +383,15 @@ def test_image_hw_reads_metadata_without_decode(tmp_path, monkeypatch):
     img = np.zeros((120, 90, 3), np.uint8)
     cv2.imwrite(str(d / "JPEGImages" / "a.jpg"), img)
     cv2.imwrite(str(d / "JPEGImages" / "b.jpg"), img)
+    cv2.imwrite(str(d / "JPEGImages" / "c.jpg"), img)
     (d / "Annotations" / "a.xml").write_text(
         "<annotation><size><width>90</width><height>120</height></size>"
         "</annotation>")
     (d / "Annotations" / "b.xml").write_text("<annotation></annotation>")
-    (d / "ImageSets" / "Main" / "test.txt").write_text("a\nb")
+    # real-world malformed variant: <size> present but missing children
+    (d / "Annotations" / "c.xml").write_text(
+        "<annotation><size><depth>3</depth></size></annotation>")
+    (d / "ImageSets" / "Main" / "test.txt").write_text("a\nb\nc")
     ds = VOCDataset(str(tmp_path), img_size=64,
                     image_sets=[("2007", "test")])
 
@@ -399,3 +403,5 @@ def test_image_hw_reads_metadata_without_decode(tmp_path, monkeypatch):
     assert calls == []          # metadata path: no decode
     assert ds.image_hw(1) == (120, 90)
     assert len(calls) == 1      # fallback decoded exactly once
+    assert ds.image_hw(2) == (120, 90)
+    assert len(calls) == 2      # <size> without width/height: decode too

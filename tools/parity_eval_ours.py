@@ -9,6 +9,7 @@ and their mean.
 
 import argparse
 import json
+import sys
 
 import numpy as np
 
@@ -50,6 +51,14 @@ def main(argv=None):
         ev = COCOEvaluator(args.root, args.img_size,
                            batch_size=args.batch_size, num_workers=2)
         ev.evaluate(predict)
+        if not ev.stats:
+            # zero detections above threshold: evaluate() returns early with
+            # empty stats — a '"stats": {}' line must not be recorded as a
+            # completed head-to-head data point (the driver's resume grep
+            # would treat the seed as done forever)
+            print("no detections above threshold — refusing to record an "
+                  "empty result", file=sys.stderr)
+            return 1
         print(json.dumps({"framework": "yolo_nano_tpu", "protocol": "coco",
                           "seed": args.seed, "img_size": args.img_size,
                           "stats": {k: round(float(v), 4)

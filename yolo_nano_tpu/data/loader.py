@@ -384,7 +384,11 @@ class EvalLoader:
                 idxs = list(range(lo, hi))
                 idxs += [hi - 1] * (self.batch_size - len(idxs))
                 local = idxs[pid * per:(pid + 1) * per]
-                imgs = list(pool.map(
-                    lambda i: load_one(i)[0], local))
-                metas = list(pool.map(meta_only, range(lo, hi)))
+                # submit both passes up front so XML/JSON meta parsing
+                # overlaps the (much costlier) JPEG decode+letterbox
+                img_futs = [pool.submit(load_one, i) for i in local]
+                meta_futs = [pool.submit(meta_only, i)
+                             for i in range(lo, hi)]
+                imgs = [f.result()[0] for f in img_futs]
+                metas = [f.result() for f in meta_futs]
                 yield np.stack(imgs), metas

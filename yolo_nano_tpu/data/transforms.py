@@ -163,29 +163,24 @@ def resize_letterbox(img, size: int, boxes: Optional[np.ndarray] = None,
     """
     h0, w0 = img.shape[:2]
     pad_value = (IMAGE_MEAN * 255.0).astype(dtype)
+    # scale/offset live in ONE place — letterbox_geometry — so the sharded
+    # evaluator's pixel-free metas can never drift from the pixel path
+    scale, offset = letterbox_geometry(h0, w0, size)
     if h0 > w0:
-        r = w0 / h0
-        resized = cv2.resize(img, (max(int(r * size), 1), size)).astype(dtype)
-        h, w = resized.shape[:2]
-        canvas = np.ones((h, h, 3), dtype) * pad_value
-        left = (h - w) // 2
+        w = max(int(w0 / h0 * size), 1)
+        resized = cv2.resize(img, (w, size)).astype(dtype)
+        canvas = np.ones((size, size, 3), dtype) * pad_value
+        left = (size - w) // 2
         canvas[:, left:left + w] = resized
-        offset = np.array([left / h, 0.0, left / h, 0.0], np.float32)
-        scale = np.array([w / h, 1.0, w / h, 1.0], np.float32)
     elif h0 < w0:
-        r = h0 / w0
-        resized = cv2.resize(img, (size, max(int(r * size), 1))).astype(dtype)
-        h, w = resized.shape[:2]
-        canvas = np.ones((w, w, 3), dtype) * pad_value
-        top = (w - h) // 2
+        h = max(int(h0 / w0 * size), 1)
+        resized = cv2.resize(img, (size, h)).astype(dtype)
+        canvas = np.ones((size, size, 3), dtype) * pad_value
+        top = (size - h) // 2
         canvas[top:top + h, :] = resized
-        offset = np.array([0.0, top / w, 0.0, top / w], np.float32)
-        scale = np.array([1.0, h / w, 1.0, h / w], np.float32)
     else:
         canvas = (img.astype(dtype) if h0 == size
                   else cv2.resize(img, (size, size)).astype(dtype))
-        offset = np.zeros(4, np.float32)
-        scale = np.ones(4, np.float32)
     if boxes is not None:
         boxes = boxes * scale + offset
     return canvas, boxes, scale, offset

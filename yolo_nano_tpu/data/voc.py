@@ -98,10 +98,11 @@ class VOCDataset(DetectionDatasetBase):
         root = ET.parse(self._anno_path(self.ids[index])).getroot()
         size = root.find("size")
         if size is not None:
-            w = int(float(size.find("width").text))
-            h = int(float(size.find("height").text))
-            if h > 0 and w > 0:
-                return h, w
+            we, he = size.find("width"), size.find("height")
+            if we is not None and he is not None and we.text and he.text:
+                w, h = int(float(we.text)), int(float(he.text))
+                if h > 0 and w > 0:
+                    return h, w
         return super().image_hw(index)
 
     def pull_anno(self, index: int):

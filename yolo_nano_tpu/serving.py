@@ -15,7 +15,8 @@ def load_artifact_config(artifact_dir: str, **overrides):
     load_predictor all load artifacts through here."""
     from yolo_nano_tpu.config import YoloNanoConfig
 
-    with open(os.path.join(artifact_dir, "config.json")) as f:
+    with open(os.path.join(os.path.expanduser(artifact_dir),
+                           "config.json")) as f:
         meta = json.load(f)
     raw = dict(meta["config"])
     raw["anchors"] = tuple(tuple(a) for a in raw["anchors"])
@@ -156,6 +157,9 @@ def load_predictor(artifact_dir: str, mesh=None,
     from yolo_nano_tpu.utils.checkpoint import load_params
     from yolo_nano_tpu.utils.fuse_bn import empty_stats_like, fold_bn
 
+    # "~/artifacts/..." comes in verbatim from Python callers (no shell
+    # expansion) — expand it here so runbook-style paths just work
+    artifact_dir = os.path.expanduser(artifact_dir)
     overrides = {k: v for k, v in (
         ("conf_thresh", conf_thresh), ("nms_thresh", nms_thresh),
         ("diou_nms", diou_nms), ("nms_pre_topk", pre_topk),
