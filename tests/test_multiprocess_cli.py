@@ -76,17 +76,18 @@ def _run_controllers(make_args, n_proc: int, devices_per_proc: int,
         outs = [p.communicate(timeout=1500) for p in procs]
         if all(p.returncode == 0 for p in procs):
             return outs, save
-        if attempt < attempts - 1 and any(
-                marker in se.lower() for _, se in outs
-                for marker in _INFRA_ERRORS):
-            continue
+        if any(marker in se.lower() for _, se in outs
+               for marker in _INFRA_ERRORS):
+            if attempt < attempts - 1:
+                continue
+            raise AssertionError(
+                f"infra-skew timeout on all {attempts} attempts; "
+                "last stderr:\n"
+                + "\n".join(se[-1500:] for _, se in outs))
         for pid, (p, (so, se)) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, (
                 f"process {pid} failed (attempt {attempt + 1}):\n"
                 f"{so[-2000:]}\n{se[-3000:]}")
-    raise AssertionError(
-        f"infra-skew timeout on all {attempts} attempts; last stderr:\n"
-        + "\n".join(se[-1500:] for _, se in outs))
 
 
 def _train_args(root: str, save: str) -> list:
@@ -309,6 +310,38 @@ def test_multiprocess_cli_resume(tmp_path):
                 for a, b in zip(jax.tree.leaves(tree6["stats"]),
                                 jax.tree.leaves(tree12["stats"])))
     assert moved, "BN stats frozen across the resumed epochs"
+
+
+def test_compile_barrier_rendezvous(monkeypatch):
+    """compile_barrier must be a no-op single-process and a coordination-
+    service rendezvous (NOT a device collective) multi-process — it is the
+    guard between XLA compilation and first execution of each collective
+    executable. Without it, a warm persistent compile cache is fatal to any
+    multi-controller rerun: JAX writes cache entries from process 0 only
+    AND computes process-dependent keys for the same SPMD program
+    (measured: the same jit_train_step hashes to f623133f… on process 0
+    and f2dc0663… on process 1), so process 0 loads in milliseconds while
+    the others recompile for minutes, and process 0's first execution dies
+    in Gloo's hardcoded 30 s context-init handshake
+    (`GetKeyValue() timed out with key: cpu:gloo/...`)."""
+    from jax._src.distributed import global_state
+
+    from yolo_nano_tpu.parallel.multiprocess import compile_barrier
+
+    # no-op when distributed was never initialized
+    monkeypatch.setattr(global_state, "client", None, raising=False)
+    compile_barrier("step64")
+
+    calls = []
+
+    class FakeClient:
+        def wait_at_barrier(self, barrier_id, timeout_ms,
+                            process_ids=None):
+            calls.append((barrier_id, timeout_ms))
+
+    monkeypatch.setattr(global_state, "client", FakeClient(), raising=False)
+    compile_barrier("step64")
+    assert calls == [("ynt_compile:step64", 1_200_000)]
 
 
 def test_shutdown_tolerant_absorbs_barrier_failure(monkeypatch):

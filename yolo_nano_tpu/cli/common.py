@@ -17,6 +17,17 @@ from yolo_nano_tpu.data.coco import COCO_CLASS_LABELS
 from yolo_nano_tpu.data.voc import VOC_CLASSES
 
 
+_EVAL_BARRIER_COUNTER = [0]
+
+
+def _next_eval_barrier() -> int:
+    """Monotone counter for eval compile-barrier tags. Control flow is
+    lockstep across controllers (same eval epochs in the same order), so
+    the same count is reached everywhere and the tags rendezvous."""
+    _EVAL_BARRIER_COUNTER[0] += 1
+    return _EVAL_BARRIER_COUNTER[0]
+
+
 def build_config(dataset: str, backbone: str = "1.0x",
                  conf_thresh: float = 0.001, nms_thresh: float = 0.50,
                  diou_nms: bool = False, **overrides) -> YoloNanoConfig:
@@ -138,11 +149,30 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
 
     pid, count = process_shard
 
+    # compile-then-barrier on the first batch: every controller finishes
+    # XLA compilation before any controller executes (first execution
+    # lazily initializes cross-host comm contexts under short hardcoded
+    # timeouts, and compile latency is asymmetric across controllers —
+    # see parallel.multiprocess.compile_barrier). A fresh predict fn is
+    # built each eval epoch, so the barrier tag carries a process-lockstep
+    # counter to stay unique.
+    state = {"jit": sharded_jit}
+
+    def run_jit(x):
+        fn = state["jit"]
+        if hasattr(fn, "lower"):  # first call: still the uncompiled jit
+            from yolo_nano_tpu.parallel.multiprocess import compile_barrier
+
+            compiled = fn.lower(x).compile()
+            compile_barrier(f"eval{input_size}:{_next_eval_barrier()}")
+            state["jit"] = fn = compiled
+        return fn(x)
+
     if local_rows:
         def sharded_mp_local(local):
             local = np.ascontiguousarray(np.asarray(local))
             x = jax.make_array_from_process_local_data(data, local)
-            return sharded_jit(x)
+            return run_jit(x)
 
         return sharded_mp_local
 
@@ -155,7 +185,7 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
         per = images.shape[0] // count
         local = np.ascontiguousarray(images[pid * per:(pid + 1) * per])
         x = jax.make_array_from_process_local_data(data, local)
-        return sharded_jit(x)
+        return run_jit(x)
 
     return sharded_mp
 

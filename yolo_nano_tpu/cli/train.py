@@ -259,8 +259,27 @@ def main(argv=None):
                 augment = make_augment_fn(
                     size, out_dtype=jnp.bfloat16 if args.bf16
                     else jnp.float32, mosaic=args.mosaic)
-            steps[size] = make_train_step(cfg, tx, size, mesh=mesh,
-                                          augment=augment)
+            fn = make_train_step(cfg, tx, size, mesh=mesh, augment=augment)
+            if pcount > 1:
+                # compile-then-barrier: on the first call, finish XLA
+                # compilation on EVERY controller before ANY controller
+                # executes — first execution lazily initializes cross-host
+                # comm contexts under short hardcoded timeouts, and the
+                # persistent compile cache makes compile latency wildly
+                # asymmetric across controllers (process-0-only writes,
+                # process-dependent keys — see
+                # parallel.multiprocess.compile_barrier)
+                from yolo_nano_tpu.parallel.multiprocess import (
+                    compile_barrier)
+
+                def first_call(*a, _fn=fn, _size=size):
+                    compiled = _fn.lower(*a).compile()
+                    compile_barrier(f"step{_size}")
+                    steps[_size] = compiled
+                    return compiled(*a)
+
+                fn = first_call
+            steps[size] = fn
         return steps[size]
 
     tb_writer = None

@@ -61,8 +61,11 @@ def shutdown_tolerant() -> None:
     try:
         jax.distributed.shutdown()
     except Exception as e:  # barrier timeout / coordinator already gone
-        print(f"[multiprocess] tolerating teardown failure after a "
-              f"completed run: {e}", file=sys.stderr)
+        # sys.stderr.write, not print: the train CLI no-ops builtins.print
+        # on non-0 controllers, and the straggler that hits the barrier
+        # race is exactly such a controller — the diagnostic must survive
+        sys.stderr.write(f"[multiprocess] tolerating teardown failure "
+                         f"after a completed run: {e}\n")
         # the failed disconnect leaves global_state.client set, and JAX's
         # atexit hook would call client.shutdown() again and re-raise at
         # interpreter exit — drop the remains so exit stays clean
@@ -76,6 +79,37 @@ def shutdown_tolerant() -> None:
         except Exception:
             pass
         global_state.service = None
+
+
+def compile_barrier(tag: str, timeout_ms: int = 1_200_000) -> None:
+    """Rendezvous all controllers between XLA compilation and the FIRST
+    execution of a new collective executable.
+
+    First execution lazily initializes the backend's cross-host
+    communication contexts under short hardcoded handshake timeouts (on the
+    CPU backend: Gloo's 30 s KV-store GetKeyValue; the coordination
+    service's 300 s shutdown barrier is the end-of-job analogue). Compile
+    skew between controllers turns those into fatal context-init timeouts:
+    JAX's persistent compilation cache both writes entries from process 0
+    only (jax/_src/compiler.py::_cache_write) and computes
+    process-DEPENDENT keys for the same SPMD program (measured: the same
+    jit_train_step hashes to different keys on process 0 and 1), so on any
+    warm-cache rerun — e.g. `--resume` — process 0 loads every executable
+    in milliseconds while the other controllers recompile for minutes.
+    Process 0 then sits in Gloo context init waiting for peers that are
+    still compiling, and the job dies even though nothing is wrong.
+
+    The cure is a rendezvous through the COORDINATION SERVICE (plain gRPC,
+    generous explicit timeout — no device collective, no Gloo) after each
+    controller finishes compiling and before any of them executes. No-op
+    in single-controller mode. `tag` must be globally unique per barrier
+    use and identical across controllers (lockstep control flow makes a
+    per-site name + counter deterministic)."""
+    from jax._src.distributed import global_state
+
+    client = global_state.client
+    if client is not None:
+        client.wait_at_barrier(f"ynt_compile:{tag}", timeout_ms)
 
 
 def global_batch(mesh, *host_arrays, axis=None):
