@@ -30,6 +30,37 @@ def test_sharded_predict_matches_single_device(mesh_kind):
     assert not out[0].sharding.is_fully_replicated
 
 
+def test_sharded_predict_reuses_compile_across_param_updates():
+    """The mesh predict core takes params as replicated jit ARGUMENTS — the
+    training eval hook rebuilds make_predict_fn with fresh EMA weights every
+    eval epoch, and a weights-as-constants graph would re-trace + recompile
+    each time (minutes per eval on a remote TPU backend). Two pins: the
+    underlying jit object is shared across builds (lru-cached), and fresh
+    params actually change the predictions (i.e. they are NOT baked in)."""
+    from yolo_nano_tpu.cli.common import _sharded_predict_jit
+
+    # conf_thresh 0: random-init scores all sit under the default threshold
+    # and would compare as identical zero paddings
+    cfg = YoloNanoConfig(num_classes=20, nms_pre_topk=64, max_detections=8,
+                         conf_thresh=0.0)
+    params, stats = init_yolo_nano(jax.random.key(0), cfg)
+    params2, stats2 = init_yolo_nano(jax.random.key(7), cfg)
+    images = np.asarray(jax.random.uniform(jax.random.key(1),
+                                           (8, 64, 64, 3)), np.float32)
+    mesh = make_mesh(8)
+    before = _sharded_predict_jit.cache_info()
+    fn1 = make_predict_fn(params, stats, cfg, 64, dtype="float32", mesh=mesh)
+    fn2 = make_predict_fn(params2, stats2, cfg, 64, dtype="float32",
+                          mesh=mesh)
+    after = _sharded_predict_jit.cache_info()
+    # second build reused the first build's jit (at most one fresh miss)
+    assert after.misses - before.misses <= 1
+    assert after.hits - before.hits >= 1
+    s1 = np.asarray(fn1(images)[1])
+    s2 = np.asarray(fn2(images)[1])
+    assert not np.allclose(s1, s2)  # fresh weights actually flowed through
+
+
 def test_device_prefetch_preserves_order_and_values():
     from yolo_nano_tpu.data.loader import device_prefetch
 

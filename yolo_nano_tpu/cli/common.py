@@ -74,6 +74,39 @@ def _predict_jit(cfg: YoloNanoConfig, input_size: int, bf16: bool):
     return jax.jit(core)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_predict_jit(cfg: YoloNanoConfig, input_size: int, bf16: bool,
+                         mesh, replicated_out: bool):
+    """Mesh twin of _predict_jit: params/stats are replicated jit ARGUMENTS
+    (not baked constants), so the training eval hook's per-epoch
+    make_predict_fn calls reuse ONE compilation per (config, resolution,
+    dtype, mesh) instead of re-tracing a weights-as-constants graph every
+    eval epoch — on a remote TPU backend that re-trace costs minutes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_nano_tpu.models.yolo_nano import predict
+
+    data = NamedSharding(mesh, P(mesh.axis_names))
+    repl = NamedSharding(mesh, P())
+
+    def core(params, stats, images):
+        x = images.astype(jnp.bfloat16) if bf16 else images
+        return predict(params, stats, x, cfg, input_size)
+
+    return jax.jit(core, in_shardings=(repl, repl, data),
+                   out_shardings=repl if replicated_out else data)
+
+
+# multi-controller mode: one AOT-compiled executable per key, compiled
+# through the compile-then-barrier discipline exactly once (an AOT
+# .lower().compile() bypasses the jit object's in-process cache, so the
+# executable itself must be memoized to keep later eval epochs barrier- and
+# compile-free)
+_MP_COMPILED: dict = {}
+
+
 def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
                     fold: bool = True, dtype: str = "bfloat16",
                     mesh=None, process_shard=None,
@@ -126,47 +159,51 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from yolo_nano_tpu.models.yolo_nano import predict
-
     # batch sharded over ALL mesh axes — works for 1-D ("data",) and 2-D
-    # multi-slice ("dcn","data") meshes alike
+    # multi-slice ("dcn","data") meshes alike; params/stats ride as
+    # replicated jit arguments so every eval epoch reuses one compilation
     data = NamedSharding(mesh, P(mesh.axis_names))
-
-    def core(images):
-        x = jnp.asarray(images)
-        if dtype == "bfloat16":
-            x = x.astype(jnp.bfloat16)
-        return predict(params, stats, x, cfg, input_size)
-
-    out_sh = NamedSharding(mesh, P()) if process_shard is not None else data
-    sharded_jit = jax.jit(core, in_shardings=data, out_shardings=out_sh)
+    bf16 = dtype == "bfloat16"
+    sharded_jit = _sharded_predict_jit(cfg, input_size, bf16, mesh,
+                                       process_shard is not None)
 
     if process_shard is None:
         def sharded(images):
-            return sharded_jit(jax.device_put(jnp.asarray(images), data))
+            return sharded_jit(params, stats,
+                               jax.device_put(jnp.asarray(images), data))
 
         return sharded
 
     pid, count = process_shard
 
-    # compile-then-barrier on the first batch: every controller finishes
-    # XLA compilation before any controller executes (first execution
-    # lazily initializes cross-host comm contexts under short hardcoded
-    # timeouts, and compile latency is asymmetric across controllers —
-    # see parallel.multiprocess.compile_barrier). A fresh predict fn is
-    # built each eval epoch, so the barrier tag carries a process-lockstep
-    # counter to stay unique.
-    state = {"jit": sharded_jit}
+    # the AOT executable below is strict about input shardings: params may
+    # arrive as host numpy (eval CLI checkpoint load) or as train-state
+    # arrays — pin them to the replicated layout the executable was
+    # lowered with (cheap: ~5 MB for this model, once per eval epoch)
+    from yolo_nano_tpu.parallel.multiprocess import replicate_tree
+
+    params = replicate_tree(mesh, params)
+    stats = replicate_tree(mesh, stats)
+
+    # compile-then-barrier on the first batch EVER for this key: every
+    # controller finishes XLA compilation before any controller executes
+    # (first execution lazily initializes cross-host comm contexts under
+    # short hardcoded timeouts, and compile latency is asymmetric across
+    # controllers — see parallel.multiprocess.compile_barrier). The AOT
+    # executable is memoized in _MP_COMPILED, so later eval epochs rebuild
+    # only this closure (fresh params), never the compilation; the barrier
+    # tag carries a process-lockstep counter to stay unique regardless.
+    mp_key = (cfg, input_size, bf16, mesh)
 
     def run_jit(x):
-        fn = state["jit"]
-        if hasattr(fn, "lower"):  # first call: still the uncompiled jit
+        exe = _MP_COMPILED.get(mp_key)
+        if exe is None:
             from yolo_nano_tpu.parallel.multiprocess import compile_barrier
 
-            compiled = fn.lower(x).compile()
+            exe = sharded_jit.lower(params, stats, x).compile()
             compile_barrier(f"eval{input_size}:{_next_eval_barrier()}")
-            state["jit"] = fn = compiled
-        return fn(x)
+            _MP_COMPILED[mp_key] = exe
+        return exe(params, stats, x)
 
     if local_rows:
         def sharded_mp_local(local):
