@@ -388,10 +388,14 @@ def test_image_hw_reads_metadata_without_decode(tmp_path, monkeypatch):
         "<annotation><size><width>90</width><height>120</height></size>"
         "</annotation>")
     (d / "Annotations" / "b.xml").write_text("<annotation></annotation>")
-    # real-world malformed variant: <size> present but missing children
+    # real-world malformed variants: <size> missing children; non-numeric
+    cv2.imwrite(str(d / "JPEGImages" / "e.jpg"), img)
     (d / "Annotations" / "c.xml").write_text(
         "<annotation><size><depth>3</depth></size></annotation>")
-    (d / "ImageSets" / "Main" / "test.txt").write_text("a\nb\nc")
+    (d / "Annotations" / "e.xml").write_text(
+        "<annotation><size><width>unknown</width>"
+        "<height>375</height></size></annotation>")
+    (d / "ImageSets" / "Main" / "test.txt").write_text("a\nb\nc\ne")
     ds = VOCDataset(str(tmp_path), img_size=64,
                     image_sets=[("2007", "test")])
 
@@ -405,3 +409,5 @@ def test_image_hw_reads_metadata_without_decode(tmp_path, monkeypatch):
     assert len(calls) == 1      # fallback decoded exactly once
     assert ds.image_hw(2) == (120, 90)
     assert len(calls) == 2      # <size> without width/height: decode too
+    assert ds.image_hw(3) == (120, 90)
+    assert len(calls) == 3      # non-numeric width text: decode too

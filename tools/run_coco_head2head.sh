@@ -19,7 +19,10 @@ for seed in 0 1 2; do
   # re-train of the (hours-long) seed on the next invocation
   if ! grep -q "\"framework\": \"yolo_nano_tpu\".*\"seed\": $seed" "$RESULTS" 2>/dev/null; then
     CKPT=$OUT/ours_s$seed/coco/h2h/ckpt
-    if [ ! -d "$CKPT" ]; then
+    # "completed" = a numeric step subdir exists — orbax creates the ckpt
+    # DIRECTORY at trainer startup, so a bare [ -d ] would skip the
+    # retrain forever after any interrupted run
+    if ! ls "$CKPT" 2>/dev/null | grep -qE '^[0-9]+$'; then
       echo "=== ours seed $seed train ($(date -u +%H:%M:%S)) ==="
       PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
         XLA_FLAGS=--xla_force_host_platform_device_count=4 \

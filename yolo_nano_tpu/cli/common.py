@@ -168,6 +168,13 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
                                        process_shard is not None)
 
     if process_shard is None:
+        # pin the weights to the replicated layout ONCE at build time —
+        # host/single-device params fed straight to the jit would be
+        # re-broadcast over the mesh on every call
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        stats = jax.device_put(stats, repl)
+
         def sharded(images):
             return sharded_jit(params, stats,
                                jax.device_put(jnp.asarray(images), data))
@@ -193,9 +200,11 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
     # executable is memoized in _MP_COMPILED, so later eval epochs rebuild
     # only this closure (fresh params), never the compilation; the barrier
     # tag carries a process-lockstep counter to stay unique regardless.
-    mp_key = (cfg, input_size, bf16, mesh)
-
     def run_jit(x):
+        # AOT executables are shape-strict: the batch shape/dtype belongs
+        # in the key (two predict fns at different global batch sizes must
+        # each get their own compilation, as plain jit would)
+        mp_key = (cfg, input_size, bf16, mesh, x.shape, str(x.dtype))
         exe = _MP_COMPILED.get(mp_key)
         if exe is None:
             from yolo_nano_tpu.parallel.multiprocess import compile_barrier

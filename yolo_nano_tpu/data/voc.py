@@ -100,7 +100,10 @@ class VOCDataset(DetectionDatasetBase):
         if size is not None:
             we, he = size.find("width"), size.find("height")
             if we is not None and he is not None and we.text and he.text:
-                w, h = int(float(we.text)), int(float(he.text))
+                try:
+                    w, h = int(float(we.text)), int(float(he.text))
+                except ValueError:  # non-numeric text: decode instead
+                    w = h = 0
                 if h > 0 and w > 0:
                     return h, w
         return super().image_hw(index)
