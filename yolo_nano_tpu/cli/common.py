@@ -49,12 +49,12 @@ def build_config(dataset: str, backbone: str = "1.0x",
 def class_names_for(dataset: str) -> Sequence[str]:
     if dataset == "voc":
         return VOC_CLASSES
-    # contiguous 80-class index → display name (via sorted cat ids 1..90)
-    coco_cat_ids = [i for i in range(1, 91)
-                    if COCO_CLASS_LABELS[i] not in (
-                        'street sign', 'hat', 'shoe', 'eye glasses', 'plate',
-                        'mirror', 'window', 'desk', 'door', 'blender')]
-    return [COCO_CLASS_LABELS[c] for c in coco_cat_ids]
+    # contiguous 80-class index → display name, via the one shared
+    # kept-category table (data/coco.py — same sorted-id mapping
+    # COCODataset derives from the annotation file at runtime)
+    from yolo_nano_tpu.data.coco import COCO_80_CAT_IDS
+
+    return [COCO_CLASS_LABELS[c] for c in COCO_80_CAT_IDS]
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,6 +151,11 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
         if process_shard is not None:
             raise ValueError("process_shard needs a global mesh")
         jitted = _predict_jit(cfg, input_size, dtype == "bfloat16")
+        # pin the weights on device ONCE: numpy jit arguments (e.g. an
+        # orbax-restored tree on the fold=False serving path) are
+        # re-uploaded host→device on EVERY call otherwise
+        params = jax.device_put(params)
+        stats = jax.device_put(stats)
 
         def fn(images):
             return jitted(params, stats, jnp.asarray(images))
@@ -201,10 +206,12 @@ def make_predict_fn(params, stats, cfg: YoloNanoConfig, input_size: int,
     # only this closure (fresh params), never the compilation; the barrier
     # tag carries a process-lockstep counter to stay unique regardless.
     def run_jit(x):
-        # AOT executables are shape-strict: the batch shape/dtype belongs
-        # in the key (two predict fns at different global batch sizes must
-        # each get their own compilation, as plain jit would)
-        mp_key = (cfg, input_size, bf16, mesh, x.shape, str(x.dtype))
+        # AOT executables are shape/structure-strict: the batch shape/dtype
+        # AND the weight-tree structure (fold=True fuses BN, changing the
+        # pytree) belong in the key — two predict fns differing in either
+        # must each get their own compilation, as plain jit would
+        mp_key = (cfg, input_size, bf16, mesh, x.shape, str(x.dtype),
+                  jax.tree.structure((params, stats)))
         exe = _MP_COMPILED.get(mp_key)
         if exe is None:
             from yolo_nano_tpu.parallel.multiprocess import compile_barrier

@@ -105,6 +105,14 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multi_scale:
+        lo, hi = args.multi_scale_range
+        if not 0 < lo < hi:
+            # fail at parse time, not at iteration 10 after minutes of
+            # compilation (rng.integers needs lo < hi; HI is exclusive)
+            raise SystemExit(
+                f"--multi_scale_range needs 0 < LO < HI (exclusive), got "
+                f"{lo} {hi}; e.g. '10 20' draws sizes 320..608")
     if args.coordinator:
         # must run before anything touches the backend (compile-cache
         # included): jax.distributed stitches all processes' devices into
@@ -296,6 +304,15 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     train_size = args.img_size
+    if args.multi_scale and start_epoch > 0:
+        # resume determinism: fast-forward the size stream past the draws
+        # an uninterrupted run would have made (one per 10 iters, starting
+        # at iter 10), so the resumed run trains on the SAME size schedule
+        # — train_size lands on the carried-over last draw, matching the
+        # loader's set_epoch and the global-iteration augment keys
+        lo, hi = args.multi_scale_range
+        for _ in range(start_epoch * max(0, (epoch_size - 1) // 10)):
+            train_size = int(rng.integers(lo, hi)) * 32
     # metrics log: process 0 writes, the rest sink (identical SPMD values)
     log_f = open(log_path if is_main else os.devnull, "a")
     profiling = False
@@ -337,11 +354,17 @@ def main(argv=None):
                                   put_fn=put_fn)
         for iter_i, batch in enumerate(batches):
             images, boxes, labels = batch[:3]
-            if args.profile_steps and not profiling and epoch == 0 \
-                    and iter_i == 2:  # skip compile iterations
+            if args.profile_steps and not profiling and \
+                    epoch == start_epoch and iter_i == 2:  # skip compiles
+                # start_epoch, not 0: --profile_steps must also work on a
+                # resumed run
                 jax.profiler.start_trace(os.path.join(save_dir, "profile"))
                 profiling = True
-            elif profiling and iter_i == 2 + args.profile_steps:
+            elif profiling and iter_i == min(2 + args.profile_steps,
+                                             epoch_size - 1):
+                # clamp to the epoch end: iter_i resets each epoch, so an
+                # over-long --profile_steps would otherwise never stop the
+                # trace (lost at exit, overhead for the whole run)
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profiler trace → {save_dir}/profile")
@@ -383,7 +406,9 @@ def main(argv=None):
                       f"|| time {dt:.2f}]", flush=True)
                 log_f.write(json.dumps(
                     {"epoch": epoch, "iter": iter_i,
-                     "step": int(state.step), "lr": lr, **m}) + "\n")
+                     "step": int(state.step), "lr": lr,
+                     "size": (train_size if args.multi_scale
+                              else args.img_size), **m}) + "\n")
                 log_f.flush()
                 if tb_writer is not None:
                     gs = iter_i + epoch * epoch_size

@@ -39,6 +39,16 @@ COCO_CLASS_LABELS = (
     'scissors', 'teddy bear', 'hair drier', 'toothbrush',
 )
 
+# the 11 ids of the 91-entry table with no annotations in COCO2017
+# (background + the 10 never-annotated names); the kept 80, in sorted-id
+# order, ARE the model's contiguous class indices — the same mapping
+# COCODataset derives at runtime from the annotation file's categories
+_COCO_UNANNOTATED = ('background', 'street sign', 'hat', 'shoe',
+                     'eye glasses', 'plate', 'mirror', 'window', 'desk',
+                     'door', 'blender')
+COCO_80_CAT_IDS = tuple(i for i, name in enumerate(COCO_CLASS_LABELS)
+                        if name not in _COCO_UNANNOTATED)
+
 
 class COCODataset(DetectionDatasetBase):
     """data_dir: COCO root containing annotations/ and {split}/ image dirs."""

@@ -68,17 +68,23 @@ def shutdown_tolerant() -> None:
                          f"after a completed run: {e}\n")
         # the failed disconnect leaves global_state.client set, and JAX's
         # atexit hook would call client.shutdown() again and re-raise at
-        # interpreter exit — drop the remains so exit stays clean
-        from jax._src.distributed import global_state
-
-        global_state.preemption_sync_manager = None
-        global_state.client = None
+        # interpreter exit — drop the remains so exit stays clean. The
+        # whole cleanup is private-JAX-internals surgery; if an upgrade
+        # renames any of it, the tolerance path must still tolerate
         try:
-            if global_state.service is not None:
-                global_state.service.shutdown()
-        except Exception:
-            pass
-        global_state.service = None
+            from jax._src.distributed import global_state
+
+            global_state.preemption_sync_manager = None
+            global_state.client = None
+            try:
+                if global_state.service is not None:
+                    global_state.service.shutdown()
+            except Exception:
+                pass
+            global_state.service = None
+        except Exception as cleanup_err:
+            sys.stderr.write(f"[multiprocess] teardown cleanup skipped: "
+                             f"{cleanup_err}\n")
 
 
 def compile_barrier(tag: str, timeout_ms: int = 1_200_000) -> None:
